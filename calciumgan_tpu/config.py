@@ -1,0 +1,213 @@
+"""Typed configuration for CalciumGAN-TPU.
+
+Replaces the reference's single mutable ``argparse.Namespace`` (``hparams``)
+that is threaded through every layer and enriched as a side effect
+(see ``/root/reference/main.py:227-267``, ``gan/utils/dataset_helper.py:113-144``
+and ``search.py:16-53`` — three divergent producers of the same namespace).
+
+Design:
+- one dataclass with every CLI flag of the reference's ``main.py`` plus every
+  derived dataset attribute the eval CLIs depend on (the ``hparams.json``
+  contract of ``gan/utils/utils.py:72-84``),
+- ``save()`` persists the full superset to ``<output_dir>/hparams.json``,
+- ``load()`` fills only *unset* fields so eval-CLI flags win, matching the
+  semantics of the reference's ``load_hparams`` (``utils.py:78-84``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import subprocess
+from dataclasses import dataclass, field
+from typing import Any, List, Optional, Tuple
+
+# Fields that are tuples on the python side but lists in JSON.
+_TUPLE_FIELDS = ("signal_shape", "spike_shape", "noise_shape")
+
+
+@dataclass
+class Config:
+    """Full configuration: CLI flags + derived dataset/runtime attributes."""
+
+    # --- CLI flags (parity with reference main.py:227-262) ---
+    input_dir: str = "dataset/tfrecords"
+    output_dir: str = "runs"
+    batch_size: int = 64
+    num_units: int = 32
+    kernel_size: int = 24
+    strides: int = 2
+    m: int = 2  # phase shuffle temporal shift
+    n: int = 2  # phase shuffle neuron shift (2d model)
+    epochs: int = 20
+    dropout: float = 0.2
+    learning_rate: float = 1e-4
+    noise_dim: int = 32
+    gradient_penalty: float = 10.0
+    model: str = "calciumgan"
+    activation: str = "leakyrelu"
+    batch_norm: bool = False
+    layer_norm: bool = False
+    algorithm: str = "wgan-gp"
+    n_critic: int = 5
+    clear_output_dir: bool = False
+    save_generated: str = ""  # "", "last", "all"
+    plot_weights: bool = False
+    skip_checkpoints: bool = False
+    mixed_precision: bool = False
+    profile: bool = False
+    dpi: int = 120
+    verbose: int = 1
+
+    # --- TPU-native additions ---
+    seed: int = 1234
+    # Data-parallel mesh size; -1 means "all visible devices".
+    data_parallelism: int = -1
+    # Model-parallel mesh size (shards the large dense layers; 1 = off).
+    model_parallelism: int = 1
+    # Checkpoint cadence in epochs (reference hard-codes 10, main.py:141).
+    checkpoint_every: int = 10
+
+    # --- runtime state ---
+    global_step: int = 0
+    start_epoch: int = 0
+    surrogate_ds: bool = False
+
+    # --- derived dataset attributes (dataset_helper.py:113-144) ---
+    train_size: Optional[int] = None
+    validation_size: Optional[int] = None
+    signal_shape: Optional[Tuple[int, ...]] = None
+    spike_shape: Optional[Tuple[int, ...]] = None
+    sequence_length: Optional[int] = None
+    num_neurons: Optional[int] = None
+    num_channels: Optional[int] = None
+    num_train_shards: Optional[int] = None
+    num_validation_shards: Optional[int] = None
+    buffer_size: Optional[int] = None
+    normalize: bool = False
+    fft: bool = False
+    conv2d: bool = False
+    signals_min: Optional[float] = None
+    signals_max: Optional[float] = None
+    noise_shape: Optional[Tuple[int, ...]] = None
+    train_steps: Optional[int] = None
+    validation_steps: Optional[int] = None
+    train_files: Optional[str] = None
+    validation_files: Optional[str] = None
+
+    # --- paths and bookkeeping (main.py:190, utils.py:93-152) ---
+    focus_neurons: List[int] = field(
+        default_factory=lambda: [87, 58, 90, 39, 7, 60, 14, 5, 13])
+    generated_dir: Optional[str] = None
+    validation_cache: Optional[str] = None
+    ckpt_dir: Optional[str] = None
+    git_hash: Optional[str] = None
+
+    # Extra keys from loaded hparams.json that are not dataclass fields.
+    extras: dict = field(default_factory=dict, repr=False)
+
+    # ------------------------------------------------------------------
+    def __post_init__(self):
+        for name in _TUPLE_FIELDS:
+            v = getattr(self, name)
+            if isinstance(v, list):
+                setattr(self, name, tuple(v))
+
+    # ------------------------------------------------------------------
+    @classmethod
+    def from_args(cls, args: Any) -> "Config":
+        """Build a Config from an argparse Namespace (unknown keys -> extras)."""
+        names = {f.name for f in dataclasses.fields(cls)}
+        kwargs, extras = {}, {}
+        for key, value in vars(args).items():
+            if key in names:
+                kwargs[key] = value
+            else:
+                extras[key] = value
+        cfg = cls(**kwargs)
+        cfg.extras.update(extras)
+        return cfg
+
+    # ------------------------------------------------------------------
+    def to_dict(self) -> dict:
+        d = dataclasses.asdict(self)
+        extras = d.pop("extras", {})
+        d.update(extras)
+        return d
+
+    def save(self, path: Optional[str] = None) -> None:
+        """Persist to ``<output_dir>/hparams.json`` (superset contract)."""
+        if self.git_hash is None:
+            self.git_hash = _git_hash()
+        path = path or os.path.join(self.output_dir, "hparams.json")
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        with open(path, "w") as f:
+            json.dump(self.to_dict(), f, indent=2, default=_json_default)
+
+    def load(self, path: Optional[str] = None) -> "Config":
+        """Fill *unset* (None) fields from a saved hparams.json.
+
+        Mirrors the reference's ``load_hparams`` which only sets attributes
+        the eval CLI did not already provide (``utils.py:78-84``).
+        Boolean/int fields that exist with defaults are overwritten only if
+        they still hold the dataclass default, so a training run's persisted
+        value is restored without clobbering explicit eval-CLI flags.
+        """
+        path = path or os.path.join(self.output_dir, "hparams.json")
+        with open(path) as f:
+            content = json.load(f)
+        defaults = {f.name: f.default for f in dataclasses.fields(type(self))
+                    if f.default is not dataclasses.MISSING}
+        names = {f.name for f in dataclasses.fields(type(self))}
+        for key, value in content.items():
+            if key == "extras":
+                continue
+            if key not in names:
+                self.extras[key] = value
+                continue
+            current = getattr(self, key)
+            if current is None or (key in defaults and current == defaults[key]):
+                if key in _TUPLE_FIELDS and isinstance(value, list):
+                    value = tuple(value)
+                setattr(self, key, value)
+        return self
+
+    # ------------------------------------------------------------------
+    @property
+    def dtype_name(self) -> str:
+        return "bfloat16" if self.mixed_precision else "float32"
+
+    def validate_model_shapes(self) -> None:
+        """Reference asserts sequence_length % strides**5 == 0
+        (``gan/models/calciumgan.py:15-19``, ``models/utils.py:28-34``)."""
+        if self.sequence_length is None:
+            raise ValueError("sequence_length is unset; load a dataset first")
+        if self.model in ("calciumgan", "calciumgan2d"):
+            w = self.sequence_length / (self.strides ** 5)
+            if not float(w).is_integer():
+                raise ValueError(
+                    f"sequence_length {self.sequence_length} is not divisible "
+                    f"by strides**5 ({self.strides ** 5}): w={w}")
+
+
+def _git_hash() -> str:
+    try:
+        return subprocess.check_output(
+            ["git", "describe", "--always"],
+            stderr=subprocess.DEVNULL).strip().decode()
+    except Exception:
+        return "unknown"
+
+
+def _json_default(obj):
+    """Coerce numpy scalars and other exotic types for json.dump."""
+    try:
+        import numpy as np
+        if isinstance(obj, np.generic):
+            return obj.item()
+        if isinstance(obj, np.ndarray):
+            return obj.tolist()
+    except ImportError:
+        pass
+    return str(obj)
