@@ -1,0 +1,184 @@
+"""Vanilla (non-saturating) GAN with BCE-from-logits losses.
+
+Functional re-design of the reference ``gan/algorithms/gan.py``:
+- the reference's ``@tf.function`` methods over hidden Keras state become
+  pure ``(state, batch, key) -> (state, logs)`` functions, jitted (and
+  sharded) by the training driver,
+- simultaneous G/D update semantics preserved: both gradients are taken from
+  the SAME forward pass (same noise, same phase-shuffle shifts — reference
+  ``gan.py:72-85`` records one ``_step`` under two tapes),
+- per-batch signal metrics on denormalised data (``gan.py:32-41``).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import linen as nn
+
+from calciumgan_tpu.algorithms.registry import register
+from calciumgan_tpu.algorithms.state import GANState, NetState, make_net_state
+from calciumgan_tpu.ops import signal_metrics
+
+
+def bce_with_logits(logits: jnp.ndarray, label: int) -> jnp.ndarray:
+    """Keras BinaryCrossentropy(from_logits=True) against a constant label."""
+    logits = logits.astype(jnp.float32)
+    if label == 1:
+        return jnp.mean(nn.softplus(-logits))
+    return jnp.mean(nn.softplus(logits))
+
+
+@register("gan")
+class GAN:
+    """Holds static config + modules + optax transforms; all step methods are
+    pure in (state, data, key) and safe to ``jax.jit``."""
+
+    has_gradient_penalty = False
+
+    def __init__(self, config, generator, discriminator):
+        self.config = config
+        self.generator = generator
+        self.discriminator = discriminator
+        self.noise_shape = (config.noise_dim,)
+        self.signal_shape = tuple(config.signal_shape)
+        self.normalize = bool(config.normalize)
+        self.signals_min = config.signals_min if self.normalize else 0.0
+        self.signals_max = config.signals_max if self.normalize else 1.0
+        # Keras Adam epsilon is 1e-7 (optax default is 1e-8)
+        self.tx_gen = optax.adam(config.learning_rate, eps=1e-7)
+        self.tx_dis = optax.adam(config.learning_rate, eps=1e-7)
+
+    # ------------------------------------------------------------------
+    def init_state(self, rng: jax.Array) -> GANState:
+        kg, kd, kp, kr = jax.random.split(rng, 4)
+        noise = jnp.zeros((1,) + self.noise_shape, jnp.float32)
+        signal = jnp.zeros((1,) + self.signal_shape, jnp.float32)
+        gvars = self.generator.init(
+            {"params": kg, "dropout": kr}, noise, training=False)
+        dvars = self.discriminator.init(
+            {"params": kd, "phase": kp, "dropout": kr}, signal,
+            training=False)
+        return GANState(
+            generator=make_net_state(gvars, self.tx_gen),
+            discriminator=make_net_state(dvars, self.tx_dis))
+
+    # ------------------------------------------------------------------
+    def get_noise(self, key: jax.Array, batch_size: int) -> jnp.ndarray:
+        return jax.random.normal(
+            key, (batch_size,) + self.noise_shape, jnp.float32)
+
+    def denormalize(self, x):
+        if not self.normalize:
+            return x
+        return x * (self.signals_max - self.signals_min) + self.signals_min
+
+    def metrics(self, real, fake) -> dict:
+        return signal_metrics.all_signal_metrics(
+            self.denormalize(real), self.denormalize(fake))
+
+    # ---- module application helpers ----------------------------------
+    def gen_apply(self, params, batch_stats, noise, key, training: bool):
+        """Returns (fake, new_batch_stats)."""
+        variables = {"params": params}
+        if batch_stats:
+            variables["batch_stats"] = batch_stats
+        rngs = {"dropout": jax.random.fold_in(key, 1)}
+        if training and batch_stats:
+            fake, mut = self.generator.apply(
+                variables, noise, training=True, rngs=rngs,
+                mutable=["batch_stats"])
+            return fake, mut["batch_stats"]
+        fake = self.generator.apply(variables, noise, training=training,
+                                    rngs=rngs)
+        return fake, batch_stats
+
+    def dis_apply(self, params, batch_stats, x, key, training: bool):
+        variables = {"params": params}
+        if batch_stats:
+            variables["batch_stats"] = batch_stats
+        rngs = {"phase": jax.random.fold_in(key, 2),
+                "dropout": jax.random.fold_in(key, 3)}
+        if training and batch_stats:
+            out, mut = self.discriminator.apply(
+                variables, x, training=True, rngs=rngs,
+                mutable=["batch_stats"])
+            return out, mut["batch_stats"]
+        out = self.discriminator.apply(variables, x, training=training,
+                                       rngs=rngs)
+        return out, batch_stats
+
+    # ---- losses -------------------------------------------------------
+    def generator_loss(self, fake_output):
+        return bce_with_logits(fake_output, 1)
+
+    def discriminator_loss(self, real_output, fake_output):
+        return (bce_with_logits(real_output, 1) +
+                bce_with_logits(fake_output, 0))
+
+    # ---- steps --------------------------------------------------------
+    def _forward(self, gparams, dparams, state: GANState, real, key,
+                 training: bool):
+        """One shared forward pass; deterministic in ``key`` so the two
+        gradient evaluations see identical randomness (and XLA CSEs them)."""
+        k_noise, k_gen, k_real, k_fake = jax.random.split(key, 4)
+        noise = self.get_noise(k_noise, real.shape[0])
+        fake, gen_bs = self.gen_apply(
+            gparams, state.generator.batch_stats, noise, k_gen, training)
+        real_out, dis_bs = self.dis_apply(
+            dparams, state.discriminator.batch_stats, real, k_real, training)
+        fake_out, dis_bs = self.dis_apply(
+            dparams, dis_bs, fake, k_fake, training)
+        gen_loss = self.generator_loss(fake_out)
+        dis_loss = self.discriminator_loss(real_out, fake_out)
+        return gen_loss, dis_loss, fake, gen_bs, dis_bs
+
+    def train_step(self, state: GANState, real, key) -> Tuple[GANState, dict]:
+        gparams, dparams = state.generator.params, state.discriminator.params
+
+        def gen_loss_fn(gp):
+            gen_loss, _, fake, gen_bs, _ = self._forward(
+                gp, dparams, state, real, key, True)
+            return gen_loss, (fake, gen_bs)
+
+        def dis_loss_fn(dp):
+            _, dis_loss, _, _, dis_bs = self._forward(
+                gparams, dp, state, real, key, True)
+            return dis_loss, dis_bs
+
+        (gen_loss, (fake, gen_bs)), g_grads = jax.value_and_grad(
+            gen_loss_fn, has_aux=True)(gparams)
+        (dis_loss, dis_bs), d_grads = jax.value_and_grad(
+            dis_loss_fn, has_aux=True)(dparams)
+
+        new_gen = _apply_updates(state.generator, g_grads, self.tx_gen, gen_bs)
+        new_dis = _apply_updates(state.discriminator, d_grads, self.tx_dis,
+                                 dis_bs)
+        logs = {"loss/generator": gen_loss, "loss/discriminator": dis_loss}
+        logs.update(self.metrics(real, fake))
+        return GANState(generator=new_gen, discriminator=new_dis), logs
+
+    def eval_step(self, state: GANState, real, key):
+        gen_loss, dis_loss, fake, _, _ = self._forward(
+            state.generator.params, state.discriminator.params, state, real,
+            key, False)
+        logs = {"loss/generator": gen_loss, "loss/discriminator": dis_loss}
+        logs.update(self.metrics(real, fake))
+        return fake, logs
+
+    def generate(self, state: GANState, noise, key=None, denorm: bool = False):
+        key = key if key is not None else jax.random.PRNGKey(0)
+        fake, _ = self.gen_apply(
+            state.generator.params, state.generator.batch_stats, noise, key,
+            training=False)
+        return self.denormalize(fake) if denorm else fake
+
+
+def _apply_updates(net: NetState, grads, tx, batch_stats) -> NetState:
+    updates, opt_state = tx.update(grads, net.opt_state, net.params)
+    params = optax.apply_updates(net.params, updates)
+    return NetState(params=params, batch_stats=batch_stats,
+                    opt_state=opt_state, step=net.step + 1)

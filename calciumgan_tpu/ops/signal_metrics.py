@@ -1,0 +1,62 @@
+"""Train-time signal fidelity metrics (on-device).
+
+Parity with ``gan/utils/signals_metrics.py``: squared errors between real and
+fake of the per-position min/max/mean/std reduced over the LAST axis (for NWC
+signals that is the channel/neuron axis — the reference's convention,
+``signals_metrics.py:9-28``), plus KL divergence and per-row cross
+correlation (``signals_metrics.py:31-44``, which the reference computed via a
+``tf.py_function`` into numpy — here it is a pure jnp expression that stays
+in the XLA computation).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+_EPS = 1e-7
+
+
+def kl_divergence(real: jnp.ndarray, fake: jnp.ndarray) -> jnp.ndarray:
+    """Keras KLD semantics: sum over last axis of y_true*log(y_true/y_pred),
+    clipped to [eps, 1], then mean."""
+    p = jnp.clip(real, _EPS, 1.0)
+    q = jnp.clip(fake, _EPS, 1.0)
+    return jnp.mean(jnp.sum(p * jnp.log(p / q), axis=-1))
+
+
+def min_signals_error(real, fake):
+    return jnp.mean(jnp.square(jnp.min(real, -1) - jnp.min(fake, -1)))
+
+
+def max_signals_error(real, fake):
+    return jnp.mean(jnp.square(jnp.max(real, -1) - jnp.max(fake, -1)))
+
+
+def mean_signals_error(real, fake):
+    return jnp.mean(jnp.square(jnp.mean(real, -1) - jnp.mean(fake, -1)))
+
+
+def std_signals_error(real, fake):
+    return jnp.mean(jnp.square(jnp.std(real, -1) - jnp.std(fake, -1)))
+
+
+def cross_correlation(real: jnp.ndarray, fake: jnp.ndarray) -> jnp.ndarray:
+    """Mean Pearson correlation between matching rows of real and fake after
+    flattening (batch, seq) into rows of length num_channels."""
+    x = real.reshape((-1, real.shape[-1]))
+    y = fake.reshape((-1, fake.shape[-1]))
+    xc = x - x.mean(-1, keepdims=True)
+    yc = y - y.mean(-1, keepdims=True)
+    num = jnp.sum(xc * yc, -1)
+    den = jnp.sqrt(jnp.sum(xc * xc, -1) * jnp.sum(yc * yc, -1))
+    return jnp.mean(num / (den + _EPS))
+
+
+def all_signal_metrics(real, fake) -> dict:
+    """The metric dict logged per step (reference gan.py:32-41)."""
+    return {
+        "signals_metrics/min": min_signals_error(real, fake),
+        "signals_metrics/max": max_signals_error(real, fake),
+        "signals_metrics/mean": mean_signals_error(real, fake),
+        "signals_metrics/std": std_signals_error(real, fake),
+    }

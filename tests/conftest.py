@@ -14,6 +14,13 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
 
+import jax
+
+# The hosted-TPU environment pre-sets JAX_PLATFORMS=axon before this process
+# starts and the plugin wins over a plain env override, so force the config
+# flag too (it is read at first backend initialisation).
+jax.config.update("jax_platforms", "cpu")
+
 import numpy as np
 import pytest
 

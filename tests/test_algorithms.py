@@ -1,0 +1,165 @@
+"""Algorithms: wgan-gp / gan train steps — correctness, determinism,
+gradient-penalty value on a known function, and mesh-sharded execution."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from calciumgan_tpu.algorithms import get_algorithm
+from calciumgan_tpu.config import Config
+from calciumgan_tpu.models import get_models
+from calciumgan_tpu.parallel import (batch_sharding, create_mesh,
+                                     make_step_fns, state_shardings)
+
+
+def tiny_config(**kw):
+    cfg = Config(
+        model="calciumgan", algorithm="wgan-gp", sequence_length=64,
+        num_neurons=6, num_channels=6, signal_shape=(64, 6), noise_dim=8,
+        num_units=4, kernel_size=4, strides=2, m=2, epochs=1, batch_size=8,
+        n_critic=2, normalize=True, layer_norm=True,
+        signals_min=0.0, signals_max=1.0)
+    for k, v in kw.items():
+        setattr(cfg, k, v)
+    return cfg
+
+
+def build(cfg):
+    gen, dis = get_models(cfg)
+    algo = get_algorithm(cfg, gen, dis)
+    state = algo.init_state(jax.random.PRNGKey(0))
+    return algo, state
+
+
+def fake_batch(cfg, n=8, seed=0):
+    rng = np.random.default_rng(seed)
+    return rng.random((n,) + tuple(cfg.signal_shape)).astype(np.float32)
+
+
+@pytest.mark.parametrize("algorithm", ["wgan-gp", "gan"])
+def test_train_step_runs_and_updates(algorithm):
+    cfg = tiny_config(algorithm=algorithm)
+    algo, state = build(cfg)
+    real = jnp.asarray(fake_batch(cfg))
+    key = jax.random.PRNGKey(1)
+    new_state, logs = jax.jit(algo.train_step)(state, real, key)
+    assert np.isfinite(float(logs["loss/generator"]))
+    assert np.isfinite(float(logs["loss/discriminator"]))
+    assert "signals_metrics/min" in logs
+    # parameters actually moved
+    diff = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()),
+                        state.generator.params, new_state.generator.params)
+    assert max(jax.tree.leaves(diff)) > 0
+    if algorithm == "wgan-gp":
+        assert int(new_state.discriminator.step) == cfg.n_critic
+        assert np.isfinite(float(logs["loss/gradient_penalty"]))
+    assert int(new_state.generator.step) == 1
+
+
+def test_determinism_same_key():
+    cfg = tiny_config()
+    algo, state = build(cfg)
+    real = jnp.asarray(fake_batch(cfg))
+    key = jax.random.PRNGKey(3)
+    step = jax.jit(algo.train_step)
+    s1, logs1 = step(state, real, key)
+    s2, logs2 = step(state, real, key)
+    assert float(logs1["loss/generator"]) == float(logs2["loss/generator"])
+    l1 = jax.tree.leaves(s1.generator.params)
+    l2 = jax.tree.leaves(s2.generator.params)
+    for a, b in zip(l1, l2):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_eval_step_does_not_mutate():
+    cfg = tiny_config()
+    algo, state = build(cfg)
+    real = jnp.asarray(fake_batch(cfg))
+    fake, logs = jax.jit(algo.eval_step)(state, real, jax.random.PRNGKey(5))
+    assert fake.shape == real.shape
+    assert np.isfinite(float(logs["loss/gradient_penalty"]))
+
+
+def test_gradient_penalty_known_function():
+    """For D(x) = sum(x) the gradient wrt x is all-ones, so
+    ||grad||_2 = sqrt(seq*channels) and gp = (sqrt(D)-1)^2 exactly."""
+    cfg = tiny_config()
+    algo, state = build(cfg)
+
+    class IdentitySum:
+        def apply(self, variables, x, training=None, rngs=None,
+                  mutable=None):
+            out = jnp.sum(x, axis=(1, 2), keepdims=False)[:, None]
+            return (out, {"batch_stats": {}}) if mutable else out
+
+    algo.discriminator = IdentitySum()
+    real = jnp.ones((4, 64, 6))
+    fake = jnp.zeros((4, 64, 6))
+    gp = algo.gradient_penalty({}, {}, jax.random.PRNGKey(0), real, fake,
+                               True)
+    expected = (np.sqrt(64 * 6) - 1.0) ** 2
+    np.testing.assert_allclose(float(gp), expected, rtol=1e-5)
+
+
+def test_generate_denorm():
+    cfg = tiny_config(signals_min=-2.0, signals_max=4.0)
+    algo, state = build(cfg)
+    noise = algo.get_noise(jax.random.PRNGKey(0), 2)
+    raw = algo.generate(state, noise)
+    den = algo.generate(state, noise, denorm=True)
+    np.testing.assert_allclose(np.asarray(den),
+                               np.asarray(raw) * 6.0 - 2.0, atol=1e-5)
+
+
+# ---- mesh execution ------------------------------------------------------
+
+def test_train_step_on_8dev_data_mesh():
+    cfg = tiny_config()
+    algo, state = build(cfg)
+    mesh = create_mesh(data_parallelism=8)
+    train, evaluate, generate = make_step_fns(algo, mesh, state)
+    state = jax.device_put(state, state_shardings(mesh, state))
+    real = jax.device_put(fake_batch(cfg, n=16),
+                          batch_sharding(mesh, 3))
+    key = jax.device_put(jax.random.PRNGKey(1))
+    new_state, logs = train(state, real, key)
+    assert np.isfinite(float(logs["loss/generator"]))
+    fake, elogs = evaluate(new_state, real, key)
+    assert fake.shape == real.shape
+    noise = jax.device_put(np.zeros((8, cfg.noise_dim), np.float32),
+                           batch_sharding(mesh, 2))
+    out = generate(new_state, noise, key)
+    assert out.shape == (8, 64, 6)
+
+
+def test_data_mesh_matches_single_device():
+    cfg = tiny_config(n_critic=1)
+    algo, state = build(cfg)
+    real = fake_batch(cfg, n=16)
+    key = jax.random.PRNGKey(2)
+
+    _, logs_single = jax.jit(algo.train_step)(state, jnp.asarray(real), key)
+
+    mesh = create_mesh(data_parallelism=8)
+    train, _, _ = make_step_fns(algo, mesh, state)
+    sharded_state = jax.device_put(state, state_shardings(mesh, state))
+    sharded_real = jax.device_put(real, batch_sharding(mesh, 3))
+    _, logs_mesh = train(sharded_state, sharded_real, jax.device_put(key))
+
+    np.testing.assert_allclose(float(logs_single["loss/generator"]),
+                               float(logs_mesh["loss/generator"]), rtol=1e-4)
+    np.testing.assert_allclose(float(logs_single["loss/discriminator"]),
+                               float(logs_mesh["loss/discriminator"]),
+                               rtol=1e-4)
+
+
+def test_model_parallel_mesh_runs():
+    cfg = tiny_config(model_parallelism=2)
+    algo, state = build(cfg)
+    mesh = create_mesh(data_parallelism=4, model_parallelism=2)
+    train, _, _ = make_step_fns(algo, mesh, state)
+    state = jax.device_put(state, state_shardings(mesh, state))
+    real = jax.device_put(fake_batch(cfg, n=8), batch_sharding(mesh, 3))
+    _, logs = train(state, real, jax.device_put(jax.random.PRNGKey(0)))
+    assert np.isfinite(float(logs["loss/generator"]))
