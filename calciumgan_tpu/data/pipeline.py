@@ -1,0 +1,244 @@
+"""Input pipeline: dataset loading and device prefetch.
+
+Replaces the reference's tf.data graph (``gan/utils/dataset_helper.py``):
+interleave(TFRecord) -> parse -> cache -> shuffle -> batch -> prefetch(4).
+The reference caches the decoded dataset in host RAM anyway, so here shards
+are decoded once into contiguous numpy arrays (sharded per host process for
+multi-host meshes), shuffled with an explicit numpy RNG per epoch, and
+batches are staged onto the device mesh by a double-buffered background
+prefetcher (the host->device copy of batch k+1 overlaps step k).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import pickle
+import queue
+import threading
+from math import ceil
+from typing import Iterator, Optional, Tuple
+
+import jax
+import numpy as np
+
+from calciumgan_tpu.data import segments as seg
+from calciumgan_tpu.data import tfrecord
+
+
+class ArrayDataset:
+    """An in-memory (signals, spikes) dataset with epoch iteration."""
+
+    def __init__(self, signals: np.ndarray, spikes: np.ndarray):
+        assert len(signals) == len(spikes)
+        self.signals = signals
+        self.spikes = spikes
+
+    def __len__(self):
+        return len(self.signals)
+
+    def batches(self, batch_size: int, shuffle: bool = False,
+                rng: Optional[np.random.Generator] = None,
+                drop_remainder: bool = False
+                ) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+        n = len(self)
+        order = np.arange(n)
+        if shuffle:
+            (rng or np.random.default_rng()).shuffle(order)
+        end = n - n % batch_size if drop_remainder else n
+        for i in range(0, end, batch_size):
+            idx = order[i:i + batch_size]
+            yield self.signals[idx], self.spikes[idx]
+
+    def steps(self, batch_size: int, drop_remainder: bool = False) -> int:
+        if drop_remainder:
+            return len(self) // batch_size
+        return ceil(len(self) / batch_size)
+
+
+# ---------------------------------------------------------------------------
+# loading
+# ---------------------------------------------------------------------------
+
+def load_info(input_dir: str) -> dict:
+    with open(os.path.join(input_dir, "info.pkl"), "rb") as f:
+        return pickle.load(f)
+
+
+def apply_dataset_info(config, info: dict) -> None:
+    """Copy dataset metadata onto the config
+    (parity: ``dataset_helper.py:113-144``)."""
+    config.train_files = os.path.join(config.input_dir, "train-*.record")
+    config.validation_files = os.path.join(config.input_dir,
+                                           "validation-*.record")
+    for key in ("train_size", "validation_size", "sequence_length",
+                "num_neurons", "num_channels", "num_train_shards",
+                "num_validation_shards", "buffer_size", "normalize", "fft",
+                "conv2d"):
+        setattr(config, key, info[key])
+    config.signal_shape = tuple(info["signal_shape"])
+    config.spike_shape = tuple(info["spike_shape"])
+    if config.normalize:
+        config.signals_min = float(info["signals_min"])
+        config.signals_max = float(info["signals_max"])
+    if config.save_generated:
+        config.generated_dir = os.path.join(config.output_dir, "generated")
+        os.makedirs(config.generated_dir, exist_ok=True)
+        config.validation_cache = os.path.join(config.generated_dir,
+                                               "validation.h5")
+
+
+def _read_shards(pattern: str, signal_shape, spike_shape,
+                 process_index: int = 0, process_count: int = 1
+                 ) -> ArrayDataset:
+    files = sorted(glob.glob(pattern))
+    if not files:
+        raise FileNotFoundError(f"no record files match {pattern}")
+    # multi-host: each process reads an interleaved subset of shards
+    files = files[process_index::process_count]
+    signals, spikes = [], []
+    for path in files:
+        for signal, spike in tfrecord.read_signal_records(
+                path, signal_shape, spike_shape):
+            signals.append(signal)
+            spikes.append(spike)
+    return ArrayDataset(np.stack(signals), np.stack(spikes))
+
+
+def load_tfrecord_datasets(config) -> Tuple[ArrayDataset, ArrayDataset]:
+    if not os.path.exists(config.input_dir):
+        raise FileNotFoundError(
+            f"input directory {config.input_dir} cannot be found")
+    info = load_info(config.input_dir)
+    apply_dataset_info(config, info)
+    train = _read_shards(config.train_files, config.signal_shape,
+                         config.spike_shape, jax.process_index(),
+                         jax.process_count())
+    validation = _read_shards(config.validation_files, config.signal_shape,
+                              config.spike_shape, jax.process_index(),
+                              jax.process_count())
+    return train, validation
+
+
+def load_surrogate_datasets(config) -> Tuple[ArrayDataset, ArrayDataset]:
+    """Surrogate pickle path (parity: ``dataset_helper.py:54-110``):
+    transpose to (trial, time, neuron), min-max normalise, split at 8192."""
+    filename = os.path.join(config.input_dir, "training.pkl")
+    if not os.path.exists(filename):
+        raise FileNotFoundError(f"training dataset {filename} not found")
+    with open(filename, "rb") as f:
+        data = pickle.load(f)
+
+    signals = np.transpose(data["signals"], (0, 2, 1)).astype(np.float32)
+    config.signals_min = float(np.min(signals))
+    config.signals_max = float(np.max(signals))
+    signals = (signals - config.signals_min) / (
+        config.signals_max - config.signals_min)
+    spikes = np.asarray(data["spikes"], np.float32)
+
+    train_size = 8192
+    train = ArrayDataset(signals[:train_size], spikes[:train_size])
+    validation = ArrayDataset(signals[train_size:], spikes[train_size:])
+
+    config.train_size = len(train)
+    config.validation_size = len(validation)
+    config.signal_shape = train.signals.shape[1:]
+    config.spike_shape = spikes.shape[1:]
+    config.sequence_length = train.signals.shape[1]
+    config.num_neurons = train.signals.shape[-1]
+    config.num_channels = train.signals.shape[-1]
+    config.normalize = True
+    config.fft = False
+    config.conv2d = False
+    if config.save_generated:
+        config.generated_dir = os.path.join(config.output_dir, "generated")
+        os.makedirs(config.generated_dir, exist_ok=True)
+        config.validation_cache = os.path.join(config.generated_dir,
+                                               "validation.h5")
+    return train, validation
+
+
+def get_datasets(config) -> Tuple[ArrayDataset, ArrayDataset]:
+    """Top-level dispatch (parity: ``dataset_helper.py:185-206``)."""
+    config.noise_shape = (config.noise_dim,)
+    if config.surrogate_ds:
+        train, validation = load_surrogate_datasets(config)
+    else:
+        train, validation = load_tfrecord_datasets(config)
+    config.train_steps = ceil(config.train_size / config.batch_size)
+    config.validation_steps = ceil(
+        config.validation_size / config.batch_size)
+    return train, validation
+
+
+# ---------------------------------------------------------------------------
+# reverse preprocessing (parity: utils.py:49-63)
+# ---------------------------------------------------------------------------
+
+def denormalize(x, x_min, x_max):
+    return x * (x_max - x_min) + x_min
+
+
+def reverse_preprocessing(config, x: np.ndarray) -> np.ndarray:
+    x = np.asarray(x)
+    if config.normalize:
+        x = denormalize(x, config.signals_min, config.signals_max)
+    if config.conv2d:
+        if config.fft:
+            x = np.concatenate((x[..., 0], x[..., 1]), axis=-1)
+        else:
+            x = np.squeeze(x, axis=-1)
+    if config.fft:
+        x = seg.ifft_signals(x)
+    return x
+
+
+# ---------------------------------------------------------------------------
+# device prefetch
+# ---------------------------------------------------------------------------
+
+class DevicePrefetcher:
+    """Stages host batches onto the mesh from a background thread.
+
+    Wraps a numpy batch iterator; ``device_put`` of batch k+1 overlaps the
+    computation consuming batch k (the reference used tf.data
+    ``prefetch(4)`` — ``dataset_helper.py:174``).
+    """
+
+    def __init__(self, iterator, sharding, depth: int = 2):
+        """``sharding``: a Sharding, or a callable array -> Sharding (so
+        tuple elements of different rank get rank-appropriate shardings)."""
+        self._iterator = iterator
+        self._sharding = sharding
+        self._q: queue.Queue = queue.Queue(maxsize=depth)
+        self._thread = threading.Thread(target=self._worker, daemon=True)
+        self._thread.start()
+
+    def _put(self, a):
+        a = np.asarray(a)
+        s = self._sharding(a) if callable(self._sharding) else self._sharding
+        return jax.device_put(a, s)
+
+    def _worker(self):
+        try:
+            for item in self._iterator:
+                if isinstance(item, tuple):
+                    put = tuple(self._put(a) for a in item)
+                else:
+                    put = self._put(item)
+                self._q.put(put)
+        except Exception as e:  # surface worker errors to the consumer
+            self._q.put(e)
+        finally:
+            self._q.put(None)
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        item = self._q.get()
+        if item is None:
+            raise StopIteration
+        if isinstance(item, Exception):
+            raise item
+        return item

@@ -1,0 +1,181 @@
+"""Offline preprocessing: segmentation, FFT, conv2d reshape, normalisation,
+sharded record writing, and the ``info.pkl`` metadata contract.
+
+Parity with ``dataset/generate_tfrecords.py``:
+- drop the first 2 neurons of recorded (non-DG) data (``:67-70``),
+- transpose to WC (time, neuron) then sliding windows of ``sequence_length``
+  advanced by ``stride`` with the reference's strict ``<`` bound (``:81-89``),
+- optional per-(segment, neuron) FFT -> concat(real, imag) channels
+  (``:30-42``) — vectorised np.fft instead of the reference's per-trace
+  ``tf.signal.fft`` python loops,
+- optional conv2d reshape to (seq, neurons, 1|2) (``:96-108``),
+- min-max normalisation to [0, 1] recording global min/max (``:113-120``),
+- shard-size heuristic, ``{mode}-{i:03d}-of-{n:03d}.record`` naming, and the
+  info.pkl keys (``:45-53,141-143,227-248``).
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+from math import ceil
+from typing import Tuple
+
+import numpy as np
+
+from calciumgan_tpu.data import tfrecord
+
+
+def split_index(length: int, n: int):
+    k, m = divmod(length, n)
+    return [(i * k + min(i, m), (i + 1) * k + min(i + 1, m))
+            for i in range(n)]
+
+
+def split(sequence, n: int):
+    return [sequence[a:b] for a, b in split_index(len(sequence), n)]
+
+
+def normalize(x, x_min, x_max):
+    return (x - x_min) / (x_max - x_min)
+
+
+def fft_signals(signals: np.ndarray) -> np.ndarray:
+    """(N, seq, neurons) -> (N, seq, 2*neurons): concat(real, imag)."""
+    spec = np.fft.fft(signals.astype(np.complex64), axis=1)
+    return np.concatenate(
+        [np.real(spec).astype(np.float32),
+         np.imag(spec).astype(np.float32)], axis=-1)
+
+
+def ifft_signals(signals: np.ndarray) -> np.ndarray:
+    """Inverse of :func:`fft_signals` (reference utils.py:35-46)."""
+    mid = signals.shape[-1] // 2
+    spec = signals[..., :mid] + 1j * signals[..., mid:]
+    return np.real(np.fft.ifft(spec.astype(np.complex64), axis=1)).astype(
+        np.float32)
+
+
+def segment_recording(raw_signals: np.ndarray, raw_spikes: np.ndarray,
+                      sequence_length: int, stride: int
+                      ) -> Tuple[np.ndarray, np.ndarray]:
+    """Sliding windows over a (time, neurons) recording.
+
+    Keeps the reference's strict bound ``i + seq < T`` (a window ending
+    exactly at T is excluded — ``generate_tfrecords.py:83``).
+    """
+    assert stride >= 1
+    T = raw_signals.shape[0]
+    starts = np.arange(0, max(T - sequence_length, 0), stride)
+    # vectorised gather instead of a python append loop
+    idx = starts[:, None] + np.arange(sequence_length)[None, :]
+    return (raw_signals[idx].astype(np.float32),
+            raw_spikes[idx].astype(np.float32))
+
+
+def num_per_shard(sequence_length: int, fft: bool,
+                  target_shard_size: float) -> int:
+    """Reference shard-size heuristic (``generate_tfrecords.py:45-53``)."""
+    n = ceil((120 / sequence_length) * 1100) * 10
+    if fft:
+        n *= 2 / 3
+    return int(n * target_shard_size)
+
+
+def preprocess(data: dict, sequence_length: int, stride: int,
+               apply_fft: bool = False, conv2d: bool = False,
+               do_normalize: bool = False, is_dg_data: bool = False):
+    """pickle dict {'signals','oasis'} (neuron-major) -> segment tensors.
+
+    Returns (signals, spikes, meta) where meta carries num_neurons,
+    num_channels, signals_min/max.
+    """
+    raw_signals = np.asarray(data["signals"], np.float32)
+    raw_spikes = np.asarray(data["oasis"], np.float32)
+    if not is_dg_data:
+        raw_signals = raw_signals[2:]
+        raw_spikes = raw_spikes[2:]
+    assert raw_signals.shape == raw_spikes.shape
+
+    raw_signals = np.swapaxes(raw_signals, 0, 1)  # -> (time, neurons)
+    raw_spikes = np.swapaxes(raw_spikes, 0, 1)
+
+    meta = {"num_neurons": raw_signals.shape[1]}
+    meta["num_channels"] = meta["num_neurons"]
+
+    signals, spikes = segment_recording(raw_signals, raw_spikes,
+                                        sequence_length, stride)
+
+    if apply_fft:
+        signals = fft_signals(signals)
+        meta["num_channels"] = signals.shape[-1]
+
+    if conv2d:
+        if apply_fft:
+            mid = signals.shape[-1] // 2
+            signals = np.stack([signals[..., :mid], signals[..., mid:]],
+                               axis=-1)
+        else:
+            signals = signals[..., None]
+        meta["num_channels"] = signals.shape[-1]
+
+    meta["signals_min"] = float(np.min(signals))
+    meta["signals_max"] = float(np.max(signals))
+    if do_normalize:
+        signals = normalize(signals, meta["signals_min"],
+                            meta["signals_max"]).astype(np.float32)
+
+    return signals, spikes, meta
+
+
+def write_dataset(output_dir: str, signals: np.ndarray, spikes: np.ndarray,
+                  meta: dict, sequence_length: int, stride: int,
+                  validation_size: int, do_normalize: bool, apply_fft: bool,
+                  conv2d: bool, target_shard_size: float = 0.5,
+                  seed: int = 1234, verbose: int = 1) -> dict:
+    """Shuffle, split, shard, write records + info.pkl; returns the info."""
+    os.makedirs(output_dir, exist_ok=True)
+    rng = np.random.RandomState(seed)
+    indexes = np.arange(len(signals))
+    rng.shuffle(indexes)
+
+    validation_size = int(validation_size)
+    train_size = len(signals) - validation_size
+    per_shard = num_per_shard(sequence_length, apply_fft, target_shard_size)
+
+    shard_counts = {}
+    for mode, idx in (("train", indexes[:train_size]),
+                      ("validation", indexes[train_size:])):
+        n_shards = 1 if per_shard == 0 else ceil(len(idx) / per_shard)
+        shard_counts[mode] = n_shards
+        for shard, shard_idx in enumerate(split(idx, n_shards)):
+            filename = os.path.join(
+                output_dir,
+                f"{mode}-{shard + 1:03d}-of-{n_shards:03d}.record")
+            if verbose:
+                print(f"writing {len(shard_idx)} segments to {filename}")
+            tfrecord.write_signal_records(filename, signals, spikes,
+                                          shard_idx)
+
+    info = {
+        "train_size": train_size,
+        "validation_size": validation_size,
+        "signal_shape": signals.shape[1:],
+        "spike_shape": spikes.shape[1:],
+        "sequence_length": sequence_length,
+        "num_neurons": meta["num_neurons"],
+        "num_channels": meta["num_channels"],
+        "num_train_shards": shard_counts["train"],
+        "num_validation_shards": shard_counts["validation"],
+        "buffer_size": min(per_shard, train_size) if per_shard else train_size,
+        "normalize": do_normalize,
+        "stride": stride,
+        "fft": apply_fft,
+        "conv2d": conv2d,
+    }
+    if do_normalize:
+        info["signals_min"] = meta["signals_min"]
+        info["signals_max"] = meta["signals_max"]
+    with open(os.path.join(output_dir, "info.pkl"), "wb") as f:
+        pickle.dump(info, f)
+    return info

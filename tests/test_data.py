@@ -1,0 +1,185 @@
+"""Data layer: TFRecord codec (incl. TensorFlow cross-validation),
+segmentation golden tests against the reference logic, pipeline loading."""
+
+import os
+import pickle
+
+import numpy as np
+import pytest
+
+from calciumgan_tpu.config import Config
+from calciumgan_tpu.data import pipeline, segments, tfrecord
+
+
+# ---- crc32c / framing ----------------------------------------------------
+
+def test_crc32c_known_vectors():
+    # RFC 3720 test vector: 32 bytes of zeros -> 0x8A9136AA
+    assert tfrecord.crc32c(b"\x00" * 32) == 0x8A9136AA
+    assert tfrecord.crc32c(b"123456789") == 0xE3069283
+
+
+def test_record_roundtrip(tmp_path):
+    path = str(tmp_path / "x.record")
+    payloads = [b"hello", b"world" * 100, b""]
+    with tfrecord.TFRecordWriter(path) as w:
+        for p in payloads:
+            w.write(p)
+    assert list(tfrecord.read_records(path, check_crc=True)) == payloads
+
+
+def test_example_roundtrip():
+    sig = np.arange(12, dtype=np.float32).tobytes()
+    spk = np.ones(12, dtype=np.float32).tobytes()
+    buf = tfrecord.encode_example({"signal": sig, "spike": spk})
+    out = tfrecord.decode_example(buf)
+    assert out["signal"][0] == sig
+    assert out["spike"][0] == spk
+
+
+def test_tensorflow_can_parse_our_records(tmp_path):
+    """Byte-compatibility proof: TF parses our records and protos."""
+    tf = pytest.importorskip("tensorflow")
+    path = str(tmp_path / "tf.record")
+    signals = np.random.default_rng(0).random((3, 8, 2)).astype(np.float32)
+    spikes = (signals > 0.5).astype(np.float32)
+    tfrecord.write_signal_records(path, signals, spikes, range(3))
+
+    ds = tf.data.TFRecordDataset(path)
+    desc = {"signal": tf.io.FixedLenFeature([], tf.string),
+            "spike": tf.io.FixedLenFeature([], tf.string)}
+    for i, raw in enumerate(ds):
+        parsed = tf.io.parse_single_example(raw, desc)
+        sig = np.frombuffer(parsed["signal"].numpy(),
+                            np.float32).reshape(8, 2)
+        np.testing.assert_array_equal(sig, signals[i])
+
+
+def test_we_can_parse_tensorflow_records(tmp_path):
+    tf = pytest.importorskip("tensorflow")
+    path = str(tmp_path / "ref.record")
+    signal = np.random.default_rng(1).random((8, 2)).astype(np.float32)
+    spike = (signal > 0.5).astype(np.float32)
+
+    def bf(v):
+        return tf.train.Feature(bytes_list=tf.train.BytesList(value=[v]))
+
+    example = tf.train.Example(features=tf.train.Features(feature={
+        "signal": bf(signal.tobytes()), "spike": bf(spike.tobytes())}))
+    with tf.io.TFRecordWriter(path) as w:
+        w.write(example.SerializeToString())
+
+    out = list(tfrecord.read_signal_records(path, (8, 2), (8, 2)))
+    np.testing.assert_array_equal(out[0][0], signal)
+    np.testing.assert_array_equal(out[0][1], spike)
+
+
+# ---- segmentation --------------------------------------------------------
+
+def test_segment_recording_matches_reference_loop(rng):
+    raw = rng.random((101, 3)).astype(np.float32)
+    spk = (raw > 0.5).astype(np.float32)
+    sl, stride = 20, 7
+    got_s, got_k = segments.segment_recording(raw, spk, sl, stride)
+    # reference generate_tfrecords.py:81-89
+    exp_s, exp_k, i = [], [], 0
+    while i + sl < raw.shape[0]:
+        exp_s.append(raw[i:i + sl])
+        exp_k.append(spk[i:i + sl])
+        i += stride
+    np.testing.assert_array_equal(got_s, np.array(exp_s))
+    np.testing.assert_array_equal(got_k, np.array(exp_k))
+
+
+def test_fft_roundtrip(rng):
+    x = rng.random((4, 16, 3)).astype(np.float32)
+    spec = segments.fft_signals(x)
+    assert spec.shape == (4, 16, 6)
+    back = segments.ifft_signals(spec)
+    np.testing.assert_allclose(back, x, atol=1e-5)
+
+
+def test_preprocess_drops_first_two_neurons(rng):
+    data = {"signals": rng.random((5, 64)).astype(np.float32),
+            "oasis": np.zeros((5, 64), np.float32)}
+    signals, spikes, meta = segments.preprocess(
+        data, sequence_length=16, stride=4, is_dg_data=False)
+    assert meta["num_neurons"] == 3
+    signals2, _, meta2 = segments.preprocess(
+        data, sequence_length=16, stride=4, is_dg_data=True)
+    assert meta2["num_neurons"] == 5
+
+
+def test_preprocess_normalize_records_minmax(rng):
+    data = {"signals": 3 + 2 * rng.random((4, 64)).astype(np.float32),
+            "oasis": np.zeros((4, 64), np.float32)}
+    signals, _, meta = segments.preprocess(
+        data, 16, 4, do_normalize=True, is_dg_data=True)
+    assert 0.0 <= signals.min() and signals.max() <= 1.0
+    assert meta["signals_max"] > meta["signals_min"] > 0
+
+
+# ---- end-to-end dataset write + load -------------------------------------
+
+def make_dataset_dir(tmp_path, rng, n_neurons=4, T=600, sl=32, stride=8):
+    data = {"signals": rng.random((n_neurons, T)).astype(np.float32),
+            "oasis": (rng.random((n_neurons, T)) < 0.05).astype(np.float32)}
+    signals, spikes, meta = segments.preprocess(
+        data, sl, stride, do_normalize=True, is_dg_data=True)
+    out = str(tmp_path / "records")
+    segments.write_dataset(out, signals, spikes, meta, sl, stride,
+                           validation_size=10, do_normalize=True,
+                           apply_fft=False, conv2d=False, verbose=0)
+    return out, signals, spikes
+
+
+def test_write_and_load_roundtrip(tmp_path, rng):
+    out, signals, spikes = make_dataset_dir(tmp_path, rng)
+    cfg = Config(input_dir=out, batch_size=8)
+    train, val = pipeline.get_datasets(cfg)
+    assert cfg.train_size == len(signals) - 10
+    assert len(train) == cfg.train_size
+    assert len(val) == 10
+    assert cfg.signal_shape == (32, 4)
+    assert cfg.normalize and cfg.signals_max is not None
+    assert cfg.train_steps == int(np.ceil(cfg.train_size / 8))
+    # every loaded segment exists in the source tensor
+    src = {signals[i].tobytes() for i in range(len(signals))}
+    for s in train.signals[:5]:
+        assert s.astype(np.float32).tobytes() in src
+
+
+def test_batches_shuffle_and_remainder(tmp_path, rng):
+    out, _, _ = make_dataset_dir(tmp_path, rng)
+    cfg = Config(input_dir=out, batch_size=8)
+    train, _ = pipeline.get_datasets(cfg)
+    batches = list(train.batches(8, shuffle=True,
+                                 rng=np.random.default_rng(0)))
+    assert sum(len(b[0]) for b in batches) == len(train)
+    b2 = list(train.batches(8, drop_remainder=True))
+    assert all(len(b[0]) == 8 for b in b2)
+
+
+def test_reverse_preprocessing_roundtrip(rng):
+    cfg = Config(normalize=True, signals_min=-1.0, signals_max=3.0,
+                 fft=False, conv2d=False)
+    x = rng.random((2, 16, 3)).astype(np.float32)
+    out = pipeline.reverse_preprocessing(cfg, x)
+    np.testing.assert_allclose(out, x * 4.0 - 1.0, atol=1e-6)
+
+
+def test_device_prefetcher(tmp_path, rng):
+    import jax
+    from calciumgan_tpu.parallel import batch_sharding, create_mesh
+    out, _, _ = make_dataset_dir(tmp_path, rng)
+    cfg = Config(input_dir=out, batch_size=8)
+    train, _ = pipeline.get_datasets(cfg)
+    mesh = create_mesh(data_parallelism=8)
+    pf = pipeline.DevicePrefetcher(
+        train.batches(8, drop_remainder=True),
+        lambda a: batch_sharding(mesh, a.ndim))
+    count = 0
+    for sig, spk in pf:
+        assert sig.shape == (8, 32, 4)
+        count += 1
+    assert count == len(train) // 8
