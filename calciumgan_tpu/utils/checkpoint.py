@@ -1,0 +1,107 @@
+"""Checkpoint / resume.
+
+The reference pickles Keras weight lists to ``checkpoints/epoch-{E:03d}.pkl``
+every 10th epoch and auto-resumes from the latest on start
+(``/root/reference/gan/utils/utils.py:116-152``, ``main.py:141-156,204``).
+
+Here the FULL train state is one pytree (params G/D, optax states, step
+counters — :class:`calciumgan_tpu.algorithms.state.GANState`), serialised
+with Flax's msgpack codec. Restore is resharding-safe: the stored host
+arrays are ``device_put`` back with whatever shardings the caller's template
+state carries, so a run checkpointed on one mesh can resume on another.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+from typing import Any, Optional, Tuple
+
+import jax
+import numpy as np
+from flax import serialization
+
+_EPOCH_RE = re.compile(r"epoch-(\d+)\.msgpack$")
+
+
+def checkpoint_path(ckpt_dir: str, epoch: int) -> str:
+    return os.path.join(ckpt_dir, f"epoch-{epoch:03d}.msgpack")
+
+
+def save(ckpt_dir: str, epoch: int, state: Any, config=None,
+         verbose: int = 1) -> str:
+    """Serialise the train-state pytree (gathered to host) for ``epoch``."""
+    os.makedirs(ckpt_dir, exist_ok=True)
+    host_state = jax.device_get(state)
+    path = checkpoint_path(ckpt_dir, epoch)
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(serialization.to_bytes(host_state))
+    os.replace(tmp, path)  # atomic: a preempted save never corrupts resume
+    meta = {"epoch": epoch}
+    if config is not None:
+        meta["global_step"] = int(config.global_step)
+    with open(os.path.join(ckpt_dir, "latest.json"), "w") as f:
+        json.dump(meta, f)
+    if verbose:
+        print(f"Saved checkpoint to {path}")
+    return path
+
+
+def latest_epoch(ckpt_dir: str) -> Optional[int]:
+    epochs = []
+    for path in glob.glob(os.path.join(ckpt_dir, "epoch-*.msgpack")):
+        m = _EPOCH_RE.search(path)
+        if m:
+            epochs.append(int(m.group(1)))
+    return max(epochs) if epochs else None
+
+
+def restore(ckpt_dir: str, template: Any, epoch: Optional[int] = None,
+            verbose: int = 1) -> Tuple[Any, Optional[int]]:
+    """Restore the latest (or a specific) checkpoint into ``template``'s
+    structure and shardings. Returns (state, epoch) — (template, None) when
+    no checkpoint exists."""
+    if epoch is None:
+        epoch = latest_epoch(ckpt_dir)
+    if epoch is None:
+        return template, None
+    path = checkpoint_path(ckpt_dir, epoch)
+    with open(path, "rb") as f:
+        host_state = serialization.from_bytes(jax.device_get(template),
+                                              f.read())
+
+    def put(tmpl, host):
+        sharding = getattr(tmpl, "sharding", None)
+        host = np.asarray(host)
+        if sharding is not None:
+            return jax.device_put(host, sharding)
+        return host
+
+    state = jax.tree_util.tree_map(put, template, host_state)
+    if verbose:
+        print(f"Restored checkpoint at {path}")
+    return state, epoch
+
+
+def resume(config, template: Any) -> Any:
+    """Reference auto-resume semantics: scan ``ckpt_dir``, restore the newest
+    checkpoint and set ``config.start_epoch = epoch + 1``
+    (``utils.py:135-152``)."""
+    if config.ckpt_dir is None:
+        config.ckpt_dir = os.path.join(config.output_dir, "checkpoints")
+    config.start_epoch = 0
+    if not os.path.isdir(config.ckpt_dir):
+        return template
+    state, epoch = restore(config.ckpt_dir, template,
+                           verbose=config.verbose)
+    if epoch is not None:
+        config.start_epoch = epoch + 1
+        meta_path = os.path.join(config.ckpt_dir, "latest.json")
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                config.global_step = json.load(f).get(
+                    "global_step", config.global_step)
+    return state

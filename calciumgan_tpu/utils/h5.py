@@ -1,0 +1,66 @@
+"""HDF5 helpers with the reference's NWC storage contract.
+
+API parity with ``/root/reference/gan/utils/h5_helper.py:5-69``: datasets are
+stored NWC (trial, time, neuron); ``write`` appends when the dataset exists;
+``get`` supports per-neuron / per-trial slicing without loading the rest.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import h5py
+import numpy as np
+
+
+def append(ds: h5py.Dataset, value: np.ndarray) -> None:
+    ds.resize(ds.shape[0] + value.shape[0], axis=0)
+    ds[-value.shape[0]:] = value
+
+
+def write(filename: str, content: Dict[str, np.ndarray]) -> None:
+    """Write or append arrays keyed by dataset name (NWC format)."""
+    assert isinstance(content, dict)
+    with h5py.File(filename, mode="a") as f:
+        for name, value in content.items():
+            value = np.asarray(value)
+            if name in f:
+                append(f[name], value)
+            else:
+                f.create_dataset(
+                    name, shape=value.shape, dtype=value.dtype, data=value,
+                    chunks=True, maxshape=(None,) + value.shape[1:])
+
+
+def overwrite(filename: str, name: str, value: np.ndarray) -> None:
+    with h5py.File(filename, mode="r+") as f:
+        if name not in f:
+            raise KeyError(f"{name} cannot be found")
+        del f[name]
+        f.create_dataset(name, shape=value.shape, dtype=value.dtype,
+                         data=value)
+
+
+def get(filename: str, name: str, neuron: Optional[int] = None,
+        trial: Optional[int] = None) -> np.ndarray:
+    """Read a dataset; ``neuron`` slices NWC -> (N, W), ``trial`` -> (W, C)."""
+    assert not (neuron is not None and trial is not None)
+    with h5py.File(filename, mode="r") as f:
+        if name not in f:
+            raise KeyError(f"{name} cannot be found")
+        ds = f[name]
+        if neuron is not None:
+            return ds[:, :, neuron]
+        if trial is not None:
+            return ds[trial, :, :]
+        return ds[:]
+
+
+def get_dataset_length(filename: str, name: str) -> int:
+    with h5py.File(filename, mode="r") as f:
+        return len(f[name])
+
+
+def contains(filename: str, name: str) -> bool:
+    with h5py.File(filename, mode="r") as f:
+        return name in f

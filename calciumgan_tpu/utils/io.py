@@ -1,0 +1,61 @@
+"""Generated-sample artefacts and hparams persistence.
+
+Contract parity with ``/root/reference/gan/utils/utils.py:93-113``: per saved
+epoch an ``epoch{E:03d}_signals.h5`` file (denormalised NWC float32 signals)
+plus ``generated/info.pkl`` mapping epoch -> {global_step, filename}, consumed
+by the metrics CLIs.
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+
+import numpy as np
+
+from calciumgan_tpu.data.pipeline import reverse_preprocessing
+from calciumgan_tpu.utils import h5
+
+
+def save_fake_signals(config, epoch: int, signals) -> str:
+    signals = reverse_preprocessing(config, np.asarray(signals))
+    filename = os.path.join(config.generated_dir,
+                            f"epoch{epoch:03d}_signals.h5")
+    h5.write(filename, {"signals": signals.astype(np.float32)})
+
+    info_filename = os.path.join(config.generated_dir, "info.pkl")
+    info = {}
+    if os.path.exists(info_filename):
+        with open(info_filename, "rb") as f:
+            info = pickle.load(f)
+    if epoch not in info:
+        info[epoch] = {"global_step": config.global_step,
+                       "filename": filename}
+        with open(info_filename, "wb") as f:
+            pickle.dump(info, f)
+    return filename
+
+
+def load_generated_info(config) -> dict:
+    """epoch -> {global_step, filename} for every saved generation epoch."""
+    path = os.path.join(config.output_dir, "generated", "info.pkl")
+    if not os.path.exists(path):
+        raise FileNotFoundError(
+            f"{path} not found — train with --save_generated first")
+    with open(path, "rb") as f:
+        return pickle.load(f)
+
+
+def cache_validation_set(config, validation) -> None:
+    """One-time dump of the denormalised validation set (signals float32,
+    spikes int8) to ``generated/validation.h5`` so the metrics CLIs can read
+    real data cheaply (``dataset_helper.py:12-30``)."""
+    if config.validation_cache is None or \
+            os.path.exists(config.validation_cache):
+        return
+    for signals, spikes in validation.batches(config.batch_size):
+        h5.write(config.validation_cache, {
+            "signals": reverse_preprocessing(config, signals).astype(
+                np.float32),
+            "spikes": spikes.astype(np.int8),
+        })

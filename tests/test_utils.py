@@ -1,0 +1,196 @@
+"""Tests for the infrastructure layer: h5 IO, TensorBoard event writing,
+checkpoint/resume, array-format conversion, summary plots."""
+
+import glob
+import os
+import struct
+
+import numpy as np
+import pytest
+
+from calciumgan_tpu.config import Config
+from calciumgan_tpu.data.tfrecord import read_records, _walk
+from calciumgan_tpu.utils import arrays, checkpoint, h5
+from calciumgan_tpu.utils.summary import Summary
+from calciumgan_tpu.utils.tb import EventWriter
+
+
+# ---------------------------------------------------------------------------
+# h5
+# ---------------------------------------------------------------------------
+
+def test_h5_write_append_get(tmp_path):
+    path = str(tmp_path / "x.h5")
+    a = np.arange(24, dtype=np.float32).reshape(2, 3, 4)
+    h5.write(path, {"signals": a})
+    h5.write(path, {"signals": a + 100})  # append
+    out = h5.get(path, "signals")
+    assert out.shape == (4, 3, 4)
+    np.testing.assert_array_equal(out[:2], a)
+    np.testing.assert_array_equal(out[2:], a + 100)
+    assert h5.get_dataset_length(path, "signals") == 4
+    assert h5.contains(path, "signals")
+    assert not h5.contains(path, "nope")
+    # neuron / trial slicing (NWC)
+    np.testing.assert_array_equal(
+        h5.get(path, "signals", neuron=1), out[:, :, 1])
+    np.testing.assert_array_equal(
+        h5.get(path, "signals", trial=3), out[3])
+    h5.overwrite(path, "signals", a)
+    assert h5.get(path, "signals").shape == (2, 3, 4)
+    with pytest.raises(KeyError):
+        h5.get(path, "missing")
+
+
+# ---------------------------------------------------------------------------
+# TensorBoard event files
+# ---------------------------------------------------------------------------
+
+def _read_scalars(logdir):
+    """Parse scalar events back out of the event file with the proto codec."""
+    files = glob.glob(os.path.join(logdir, "events.out.tfevents.*"))
+    assert len(files) == 1
+    scalars = {}
+    for record in read_records(files[0], check_crc=True):
+        step, tag, value = 0, None, None
+        for field, wire, v in _walk(record):
+            if field == 2 and wire == 0:
+                step = v
+            elif field == 5 and wire == 2:  # Summary
+                for f2, _, val_buf in _walk(v):
+                    if f2 != 1:
+                        continue
+                    for f3, w3, item in _walk(val_buf):
+                        if f3 == 1:
+                            tag = item.decode()
+                        elif f3 == 2 and w3 == 5:
+                            (value,) = struct.unpack("<f", item)
+        if tag is not None and value is not None:
+            scalars[(tag, step)] = value
+    return scalars
+
+
+def test_event_writer_scalars_roundtrip(tmp_path):
+    logdir = str(tmp_path / "logs")
+    w = EventWriter(logdir)
+    w.scalar("loss/generator", 1.5, step=3)
+    w.scalar("loss/discriminator", -2.25, step=4)
+    w.histogram("weights", np.random.default_rng(0).normal(size=100), step=1)
+    w.image("fig", b"\x89PNG fake", height=4, width=5, step=2)
+    w.close()
+    scalars = _read_scalars(logdir)
+    assert scalars[("loss/generator", 3)] == pytest.approx(1.5)
+    assert scalars[("loss/discriminator", 4)] == pytest.approx(-2.25)
+
+
+# ---------------------------------------------------------------------------
+# checkpoint / resume
+# ---------------------------------------------------------------------------
+
+def _tiny_state():
+    import jax
+    from calciumgan_tpu.algorithms.registry import get_algorithm
+    from calciumgan_tpu.models.registry import get_models
+    cfg = Config(model="mlp", algorithm="gan", noise_dim=4, num_units=4,
+                 sequence_length=8, num_neurons=2, num_channels=2,
+                 signal_shape=(8, 2), normalize=True, signals_min=0.0,
+                 signals_max=1.0)
+    gen, dis = get_models(cfg)
+    algo = get_algorithm(cfg, gen, dis)
+    return cfg, algo, algo.init_state(jax.random.PRNGKey(0))
+
+
+def test_checkpoint_roundtrip_and_resume(tmp_path):
+    import jax
+    cfg, algo, state = _tiny_state()
+    cfg.output_dir = str(tmp_path)
+    cfg.ckpt_dir = str(tmp_path / "checkpoints")
+    cfg.global_step = 42
+
+    checkpoint.save(cfg.ckpt_dir, 9, state, config=cfg, verbose=0)
+    assert checkpoint.latest_epoch(cfg.ckpt_dir) == 9
+
+    # mutate, then restore into the template
+    zeroed = jax.tree_util.tree_map(lambda x: x * 0, state)
+    restored, epoch = checkpoint.restore(cfg.ckpt_dir, zeroed, verbose=0)
+    assert epoch == 9
+    orig = jax.tree_util.tree_leaves(jax.device_get(state))
+    rest = jax.tree_util.tree_leaves(jax.device_get(restored))
+    for a, b in zip(orig, rest):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    cfg.global_step = 0
+    cfg.start_epoch = 0
+    resumed = checkpoint.resume(cfg, zeroed)
+    assert cfg.start_epoch == 10
+    assert cfg.global_step == 42
+    rest = jax.tree_util.tree_leaves(jax.device_get(resumed))
+    for a, b in zip(orig, rest):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_resume_without_checkpoint(tmp_path):
+    cfg, algo, state = _tiny_state()
+    cfg.output_dir = str(tmp_path)
+    cfg.ckpt_dir = None
+    out = checkpoint.resume(cfg, state)
+    assert cfg.start_epoch == 0
+    assert out is state
+
+
+# ---------------------------------------------------------------------------
+# array formats
+# ---------------------------------------------------------------------------
+
+def test_array_format_roundtrip():
+    cfg = Config(sequence_length=16, num_neurons=3, validation_size=5)
+    x = np.random.default_rng(0).normal(size=(5, 16, 3))
+    assert arrays.get_array_format(x.shape, cfg) == "NWC"
+    cnw = arrays.set_array_format(x, "CNW", cfg)
+    assert cnw.shape == (3, 5, 16)
+    back = arrays.set_array_format(cnw, "NWC", cfg)
+    np.testing.assert_array_equal(back, x)
+    # neuron-major swap
+    y = np.zeros((5, 3, 7))
+    assert arrays.swap_neuron_major(cfg, y).shape == (3, 5, 7)
+
+
+def test_remove_nan():
+    a = np.array([1.0, np.nan, 2.0])
+    np.testing.assert_array_equal(arrays.remove_nan(a), [1.0, 2.0])
+
+
+# ---------------------------------------------------------------------------
+# summary plots (smoke: files are produced and parse as events)
+# ---------------------------------------------------------------------------
+
+def test_summary_plots_smoke(tmp_path):
+    cfg = Config(output_dir=str(tmp_path / "run"), dpi=60)
+    os.makedirs(cfg.output_dir, exist_ok=True)
+    s = Summary(cfg)
+    rng = np.random.default_rng(0)
+    signals = rng.normal(size=(4, 64))
+    spikes = (rng.uniform(size=(4, 64)) > 0.9).astype(np.float32)
+    s.scalar("loss/generator", 1.0, step=0)
+    s.plot_traces("traces", signals, spikes, indexes=[0, 1, 2])
+    s.raster_plot("raster", spikes, spikes, legend_labels=["r", "f"])
+    s.plot_histogram("hist", (signals[0], signals[1]))
+    s.plot_histograms_grid("grid", [(signals[0], signals[1])] * 2,
+                           titles=["a", "b"], legend_labels=["r", "f"])
+    s.plot_heatmaps_grid("heat", [np.abs(rng.normal(size=(6, 6)))] * 2,
+                         titles=["a", "b"])
+    s.plot_distribution("dist", signals[0])
+    s.flush()
+    assert glob.glob(os.path.join(cfg.output_dir, "events.out.tfevents.*"))
+    assert glob.glob(os.path.join(cfg.output_dir, "plots", "*.png"))
+
+
+def test_summary_metrics_mode(tmp_path):
+    cfg = Config(output_dir=str(tmp_path / "run"), dpi=60)
+    os.makedirs(cfg.output_dir, exist_ok=True)
+    cfg.extras["format"] = "pdf"
+    s = Summary(cfg, spike_metrics=True)
+    s.scalar("spike_metrics/firing_rate", 0.5, step=1)
+    s.plot_distribution("fr", np.random.default_rng(0).uniform(size=50))
+    s.flush()
+    assert os.path.isdir(os.path.join(cfg.output_dir, "metrics", "plots"))
