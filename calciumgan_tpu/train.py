@@ -1,0 +1,311 @@
+"""Training driver: epoch loop, validation, sampling, checkpointing.
+
+Functional re-design of the reference driver (``/root/reference/main.py:22-224``):
+same epoch structure (train pass, validation pass, every-10-epoch sample +
+plot + checkpoint, profiler window at epoch 1 batches 2-6, per-epoch elapse
+scalars, final surrogate-set generation) over a jitted, mesh-sharded train
+step. Differences by design:
+
+- the train step is ONE ``jax.jit`` computation per algorithm (critic loop
+  and gradient penalty fused), compiled once for a fixed batch shape,
+- batches ride a background :class:`DevicePrefetcher` onto the mesh,
+- the PRNG stream is explicit: the step key is ``fold_in(run_key,
+  global_step)`` so resume reproduces the exact randomness,
+- generated-sample deconvolution (OASIS) runs on-device instead of crossing
+  into Cython on the host (``main.py:147`` -> :mod:`calciumgan_tpu.ops.oasis`).
+"""
+
+from __future__ import annotations
+
+import os
+from shutil import rmtree
+from time import time
+from typing import Dict, Optional, Tuple
+
+import jax
+import numpy as np
+
+from calciumgan_tpu.algorithms.registry import get_algorithm
+from calciumgan_tpu.data import pipeline
+from calciumgan_tpu.models.registry import get_models
+from calciumgan_tpu.ops.oasis import deconvolve_signals
+from calciumgan_tpu.parallel import mesh as mesh_lib
+from calciumgan_tpu.utils import arrays, checkpoint, io
+from calciumgan_tpu.utils.summary import Summary
+
+
+def _progress(iterable, desc, total, verbose):
+    if not verbose:
+        return iterable
+    try:
+        from tqdm import tqdm
+        return tqdm(iterable, desc=desc, total=total)
+    except ImportError:
+        return iterable
+
+
+def count_params(params) -> int:
+    return sum(np.prod(p.shape) for p in jax.tree_util.tree_leaves(params)
+               if hasattr(p, "shape"))
+
+
+def _mean_logs(all_logs) -> Dict[str, float]:
+    out: Dict[str, float] = {}
+    if not all_logs:
+        return out
+    host = [jax.device_get(l) for l in all_logs]
+    for key in host[0]:
+        out[key] = float(np.mean([np.asarray(l[key]) for l in host]))
+    return out
+
+
+def focus_neurons(config):
+    """Reference hard-codes 9 indices assuming >=91 neurons
+    (``main.py:190``); clamp to the dataset's neuron count."""
+    idx = [i for i in config.focus_neurons if i < config.num_neurons]
+    if not idx:
+        idx = list(range(min(9, config.num_neurons)))
+    return idx
+
+
+# ---------------------------------------------------------------------------
+# epoch passes
+# ---------------------------------------------------------------------------
+
+def train_epoch(config, dataset, train_fn, state, summary: Summary,
+                epoch: int, run_key, mesh) -> Tuple:
+    """One pass over the training set (parity: ``main.py:33-75``)."""
+    rng = np.random.default_rng(config.seed + epoch)
+    batches = dataset.batches(config.batch_size, shuffle=True, rng=rng,
+                              drop_remainder=True)
+    signals_only = (s for s, _ in batches)
+    prefetch = pipeline.DevicePrefetcher(
+        signals_only, lambda a: mesh_lib.batch_sharding(mesh, a.ndim))
+
+    all_logs = []
+    start = time()
+    profiling = False
+    steps = dataset.steps(config.batch_size, drop_remainder=True)
+    for batch_count, signal in enumerate(
+            _progress(prefetch, "Train", steps, config.verbose)):
+        if config.profile and epoch == 1 and batch_count == 2:
+            jax.profiler.start_trace(summary.profiler_dir)
+            profiling = True
+        step_key = jax.random.fold_in(run_key, config.global_step)
+        state, logs = train_fn(state, signal, step_key)
+        all_logs.append(logs)
+        config.global_step += 1
+        if profiling and batch_count == 6:
+            jax.block_until_ready(logs)
+            jax.profiler.stop_trace()
+            profiling = False
+    jax.block_until_ready(state)
+    if profiling:  # profile window extends past a tiny epoch
+        jax.profiler.stop_trace()
+    elapse = time() - start
+
+    logs = _mean_logs(all_logs)
+    summary.log(logs, elapse=elapse, state=state, step=epoch, training=True)
+    return state, logs
+
+
+def validate_epoch(config, dataset, eval_fn, state, summary: Summary,
+                   epoch: int, run_key, mesh) -> Dict[str, float]:
+    """One validation pass; saves generated signals per the
+    ``--save_generated`` policy (parity: ``main.py:78-122``)."""
+    save_generated = (
+        (config.save_generated == "all" and
+         (epoch % 10 == 0 or epoch == config.epochs - 1)) or
+        (config.save_generated == "last" and epoch == config.epochs - 1))
+
+    all_logs = []
+    start = time()
+    steps = dataset.steps(config.batch_size)
+    it = dataset.batches(config.batch_size)
+    for i, (signal, _) in enumerate(
+            _progress(it, "Validate", steps, config.verbose)):
+        signal, real_count = mesh_lib.pad_to_multiple(
+            signal, config.batch_size)
+        signal = mesh_lib.shard_batch(mesh, signal)
+        step_key = jax.random.fold_in(run_key, 10**9 + epoch * steps + i)
+        fake, logs = eval_fn(state, signal, step_key)
+        all_logs.append(logs)
+        if save_generated:
+            io.save_fake_signals(
+                config, epoch, np.asarray(jax.device_get(fake))[:real_count])
+    elapse = time() - start
+
+    logs = _mean_logs(all_logs)
+    summary.log(logs, elapse=elapse, step=epoch, training=False)
+    return logs
+
+
+def sample_and_plot(config, algo, generate_fn, state, summary: Summary,
+                    epoch: int, test_noise) -> None:
+    """Generate from the fixed test noise, deconvolve on device, plot traces
+    (parity: ``main.py:141-156``)."""
+    fake = generate_fn(state, test_noise, jax.random.PRNGKey(epoch))
+    fake = pipeline.reverse_preprocessing(
+        config, np.asarray(jax.device_get(fake)))
+    signals = arrays.set_array_format(fake[0], "CW", config)  # (neuron, time)
+    spikes = np.asarray(jax.device_get(deconvolve_signals(signals)))
+    summary.plot_traces("fake_traces", signals, spikes,
+                        indexes=focus_neurons(config), step=epoch,
+                        training=False)
+
+
+def plot_real_signals(config, summary: Summary, dataset) -> None:
+    """First validation batch traces at step 0
+    (parity: ``dataset_helper.py:33-51``)."""
+    signal, spike = next(dataset.batches(config.batch_size))
+    signal = pipeline.reverse_preprocessing(config, signal)
+    signals = arrays.set_array_format(signal[0], "CW", config)
+    spikes = arrays.set_array_format(spike[0], "CW", config)
+    summary.plot_traces("real_traces", signals, spikes,
+                        indexes=focus_neurons(config), step=0,
+                        training=False)
+
+
+def train_and_validate(config, train_ds, validation_ds, algo, fns, state,
+                       summary: Summary, mesh):
+    """Epoch loop (parity: ``main.py:125-165``)."""
+    train_fn, eval_fn, generate_fn = fns
+    run_key = jax.random.PRNGKey(config.seed)
+    # fixed test noise (reference uses batch 1 — ``main.py:127``); padded to
+    # the data-axis size so the jitted generate's batch sharding divides,
+    # row 0 is the plotted sample
+    n_dev = mesh.shape[mesh_lib.DATA_AXIS]
+    one = np.asarray(
+        jax.device_get(algo.get_noise(jax.random.fold_in(run_key, 2**31 - 1),
+                                      1)))
+    test_noise = jax.device_put(np.repeat(one, n_dev, axis=0),
+                                mesh_lib.batch_sharding(mesh, 2))
+
+    for epoch in range(config.start_epoch, config.epochs):
+        if config.verbose:
+            print(f"Epoch {epoch:03d}/{config.epochs:03d}")
+        start = time()
+
+        state, train_logs = train_epoch(config, train_ds, train_fn, state,
+                                        summary, epoch, run_key, mesh)
+        val_logs = validate_epoch(config, validation_ds, eval_fn, state,
+                                  summary, epoch, run_key, mesh)
+
+        if epoch % 10 == 0 or epoch == config.epochs - 1:
+            sample_and_plot(config, algo, generate_fn, state, summary, epoch,
+                            test_noise)
+            if not config.skip_checkpoints:
+                checkpoint.save(config.ckpt_dir, epoch, state, config=config,
+                                verbose=config.verbose)
+
+        if config.verbose:
+            print("Train: generator loss {:.04f} discriminator loss {:.04f}\n"
+                  "Eval: generator loss {:.04f} discriminator loss {:.04f}\n"
+                  "Elapse: {:.02f} mins\n".format(
+                      train_logs.get("loss/generator", float("nan")),
+                      train_logs.get("loss/discriminator", float("nan")),
+                      val_logs.get("loss/generator", float("nan")),
+                      val_logs.get("loss/discriminator", float("nan")),
+                      (time() - start) / 60))
+    return state
+
+
+def test(config, validation_ds, eval_fn, state, mesh) -> Dict[str, float]:
+    """Final metric aggregation for hparam search (parity:
+    ``main.py:168-181``)."""
+    key = jax.random.PRNGKey(config.seed + 777)
+    all_logs = []
+    for i, (signal, _) in enumerate(validation_ds.batches(config.batch_size)):
+        signal, _ = mesh_lib.pad_to_multiple(signal, config.batch_size)
+        signal = mesh_lib.shard_batch(mesh, signal)
+        _, logs = eval_fn(state, signal, jax.random.fold_in(key, i))
+        all_logs.append(logs)
+    return _mean_logs(all_logs)
+
+
+def generate_surrogate_dataset(config, generate_fn, algo, state, mesh,
+                               num_samples: int = 2 * 10**6) -> str:
+    """Generate a denormalised sample set to ``generated.pkl``
+    (parity: ``utils.py:191-207``), batched at 1000 on device."""
+    import pickle
+    n_dev = mesh.shape[mesh_lib.DATA_AXIS]
+    batch_size = -(-1000 // n_dev) * n_dev  # reference batches at ~1000
+    num_samples = -(-num_samples // batch_size) * batch_size
+    key = jax.random.PRNGKey(config.seed + 999)
+    generated = np.zeros((num_samples,) + tuple(config.signal_shape),
+                         np.float32)
+    for i in _progress(range(0, num_samples, batch_size), "Surrogate",
+                       num_samples // batch_size, config.verbose):
+        k = jax.random.fold_in(key, i)
+        noise = np.asarray(jax.device_get(algo.get_noise(k, batch_size)))
+        noise = jax.device_put(noise, mesh_lib.batch_sharding(mesh, 2))
+        fake = generate_fn(state, noise, k)
+        generated[i:i + batch_size] = algo.denormalize(
+            np.asarray(jax.device_get(fake)))
+    filename = os.path.join(config.output_dir, "generated.pkl")
+    with open(filename, "wb") as f:
+        pickle.dump({"signals": generated}, f)
+    if config.verbose:
+        print(f"save {num_samples} samples to {filename}")
+    return filename
+
+
+# ---------------------------------------------------------------------------
+# main
+# ---------------------------------------------------------------------------
+
+def main(config, return_metrics: bool = False) -> Optional[Dict[str, float]]:
+    """End-to-end wiring (parity: ``main.py:184-224``)."""
+    if config.clear_output_dir and os.path.exists(config.output_dir):
+        rmtree(config.output_dir)
+    os.makedirs(config.output_dir, exist_ok=True)
+
+    summary = Summary(config)
+    train_ds, validation_ds = pipeline.get_datasets(config)
+    config.validate_model_shapes()
+
+    generator, discriminator = get_models(config)
+    algo = get_algorithm(config, generator, discriminator)
+
+    mesh = mesh_lib.create_mesh(config.data_parallelism,
+                                config.model_parallelism)
+    state = algo.init_state(jax.random.PRNGKey(config.seed))
+    # place the initial state with its mesh shardings before compiling
+    state = jax.device_put(state, mesh_lib.state_shardings(mesh, state))
+
+    if config.verbose:
+        print(f"mesh: {dict(zip(mesh.axis_names, mesh.devices.shape))} "
+              f"on {mesh.devices.size} {mesh.devices.flat[0].platform} "
+              f"device(s)")
+        print(f"generator parameters: "
+              f"{count_params(state.generator.params):,}")
+        print(f"discriminator parameters: "
+              f"{count_params(state.discriminator.params):,}")
+    summary.scalar("model/trainable_parameters/generator",
+                   count_params(state.generator.params))
+    summary.scalar("model/trainable_parameters/discriminator",
+                   count_params(state.discriminator.params))
+
+    config.save()
+
+    config.ckpt_dir = config.ckpt_dir or os.path.join(config.output_dir,
+                                                      "checkpoints")
+    state = checkpoint.resume(config, state)
+
+    if config.save_generated:
+        io.cache_validation_set(config, validation_ds)
+    plot_real_signals(config, summary, validation_ds)
+
+    fns = mesh_lib.make_step_fns(algo, mesh, state)
+
+    start = time()
+    state = train_and_validate(config, train_ds, validation_ds, algo, fns,
+                               state, summary, mesh)
+    summary.scalar("elapse/total", time() - start)
+
+    if config.surrogate_ds:
+        generate_surrogate_dataset(config, fns[2], algo, state, mesh)
+
+    if return_metrics:
+        return test(config, validation_ds, fns[1], state, mesh)
+    return None

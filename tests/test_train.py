@@ -1,0 +1,94 @@
+"""End-to-end driver tests on a tiny synthetic dataset (8-device CPU mesh)."""
+
+import glob
+import os
+
+import numpy as np
+import pytest
+
+from calciumgan_tpu import train as train_lib
+from calciumgan_tpu.data import segments
+from calciumgan_tpu.utils import h5, io
+
+
+def make_dataset_dir(tmp_path, rng, n_neurons=4, T=800, sl=32, stride=8):
+    data = {"signals": rng.random((n_neurons, T)).astype(np.float32),
+            "oasis": (rng.random((n_neurons, T)) < 0.05).astype(np.float32)}
+    signals, spikes, meta = segments.preprocess(
+        data, sl, stride, do_normalize=True, is_dg_data=True)
+    out = str(tmp_path / "records")
+    segments.write_dataset(out, signals, spikes, meta, sl, stride,
+                           validation_size=16, do_normalize=True,
+                           apply_fft=False, conv2d=False, verbose=0)
+    return out
+
+
+def tiny_config(tmp_path, rng, **kw):
+    from main import parse_args
+    input_dir = make_dataset_dir(tmp_path, rng)
+    argv = ["--input_dir", input_dir,
+            "--output_dir", str(tmp_path / "run"),
+            "--batch_size", "8", "--num_units", "2", "--kernel_size", "4",
+            "--noise_dim", "4", "--epochs", "2", "--n_critic", "2",
+            "--model", "calciumgan", "--algorithm", "wgan-gp",
+            "--save_generated", "all", "--verbose", "0"]
+    for k, v in kw.items():
+        argv += [f"--{k}", str(v)]
+    return parse_args(argv)
+
+
+def test_main_end_to_end_and_resume(tmp_path, rng):
+    cfg = tiny_config(tmp_path, rng)
+    train_lib.main(cfg)
+
+    # checkpoints written at epoch 0 and final epoch
+    ckpts = glob.glob(os.path.join(cfg.output_dir, "checkpoints",
+                                   "epoch-*.msgpack"))
+    assert len(ckpts) == 2
+    # hparams.json contract persisted
+    assert os.path.exists(os.path.join(cfg.output_dir, "hparams.json"))
+    # event files for train + validation writers
+    assert glob.glob(os.path.join(cfg.output_dir, "events.out.tfevents.*"))
+    assert glob.glob(os.path.join(cfg.output_dir, "validation",
+                                  "events.out.tfevents.*"))
+    # generated signals saved per --save_generated all (epoch 0 + last)
+    gen_dir = os.path.join(cfg.output_dir, "generated")
+    files = sorted(glob.glob(os.path.join(gen_dir, "epoch*_signals.h5")))
+    assert [os.path.basename(f) for f in files] == [
+        "epoch000_signals.h5", "epoch001_signals.h5"]
+    # generated info.pkl maps epochs to files
+    info = io.load_generated_info(cfg)
+    assert set(info.keys()) == {0, 1}
+    # validation cache with real signals + spikes
+    cache = os.path.join(gen_dir, "validation.h5")
+    assert h5.contains(cache, "signals") and h5.contains(cache, "spikes")
+    assert h5.get_dataset_length(cache, "signals") == 16
+    # saved generation matches validation size and NWC shape
+    fake = h5.get(files[-1], "signals")
+    assert fake.shape == (16,) + tuple(cfg.signal_shape)
+    assert np.isfinite(fake).all()
+
+    # ---- resume: 2 more epochs continue from epoch 2 ----
+    from main import parse_args
+    cfg2 = parse_args(["--input_dir", cfg.input_dir,
+                       "--output_dir", cfg.output_dir,
+                       "--batch_size", "8", "--num_units", "2",
+                       "--kernel_size", "4", "--noise_dim", "4",
+                       "--epochs", "4", "--n_critic", "2",
+                       "--model", "calciumgan", "--algorithm", "wgan-gp",
+                       "--save_generated", "all", "--verbose", "0"])
+    train_lib.main(cfg2)
+    assert cfg2.start_epoch == 2
+    ckpts = glob.glob(os.path.join(cfg.output_dir, "checkpoints",
+                                   "epoch-*.msgpack"))
+    assert len(ckpts) == 3  # epochs 0, 1(final of run 1), 3(final of run 2)
+
+
+def test_main_return_metrics(tmp_path, rng):
+    cfg = tiny_config(tmp_path, rng)
+    cfg.epochs = 1
+    cfg.save_generated = ""
+    cfg.skip_checkpoints = True
+    metrics = train_lib.main(cfg, return_metrics=True)
+    assert "signals_metrics/min" in metrics
+    assert all(np.isfinite(v) for v in metrics.values())
