@@ -74,6 +74,18 @@ class Config:
     start_epoch: int = 0
     surrogate_ds: bool = False
 
+    # --- evaluation CLI flags (compute_metrics.py:549-571) ---
+    num_processors: int = 6   # unused: metrics run on-device
+    all_epochs: bool = False
+    num_neuron_plots: int = 6
+    num_trial_plots: int = 6
+    plots_per_row: int = 3
+    format: str = "pdf"
+    # runtime selections made by the eval CLIs
+    num_samples: Optional[int] = None
+    neurons: Optional[List[int]] = None
+    trials: Optional[List[int]] = None
+
     # --- derived dataset attributes (dataset_helper.py:113-144) ---
     train_size: Optional[int] = None
     validation_size: Optional[int] = None

@@ -240,5 +240,11 @@ def histogram_kl(real, fake, num_bins: int = 30) -> jnp.ndarray:
 
 
 def pairs_kl_divergence(pairs) -> np.ndarray:
-    """[(real, fake), ...] -> per-pair KL (``compute_metrics.py:89-112``)."""
-    return np.asarray([histogram_kl(r, f) for r, f in pairs], np.float32)
+    """[(real, fake), ...] -> per-pair KL (``compute_metrics.py:89-112``);
+    NaN for pairs where either side is empty (e.g. all-NaN correlations of
+    silent trains filtered by remove_nan)."""
+    out = np.full(len(pairs), np.nan, np.float32)
+    for i, (r, f) in enumerate(pairs):
+        if np.size(r) and np.size(f):
+            out[i] = histogram_kl(r, f)
+    return out

@@ -197,8 +197,10 @@ class Summary:
         fig = plt.figure(figsize=(5, 4))
         fig.patch.set_facecolor("white")
         ax = plt.gca()
-        ax.hist(np.asarray(data).ravel(), bins=bins, rwidth=0.85,
-                color="green")
+        values = np.asarray(data).ravel()
+        values = values[np.isfinite(values)]
+        if values.size:
+            ax.hist(values, bins=bins, rwidth=0.85, color="green")
         ax.set_xlabel(xlabel)
         ax.set_ylabel(ylabel)
         if title:
@@ -236,11 +238,13 @@ class Summary:
         fig.patch.set_facecolor("white")
         for i, (real, fake) in enumerate(data):
             ax = plt.subplot(num_rows, plots_per_row, i + 1)
-            lo = min(np.min(real), np.min(fake))
-            hi = max(np.max(real), np.max(fake))
-            kw = dict(bins=30, range=(lo, hi), rwidth=0.85, alpha=0.6)
-            ax.hist(real, color=self.real_color, label="Real", **kw)
-            ax.hist(fake, color=self.fake_color, label="Fake", **kw)
+            real, fake = np.asarray(real), np.asarray(fake)
+            if real.size and fake.size:
+                lo = min(np.min(real), np.min(fake))
+                hi = max(np.max(real), np.max(fake))
+                kw = dict(bins=30, range=(lo, hi), rwidth=0.85, alpha=0.6)
+                ax.hist(real, color=self.real_color, label="Real", **kw)
+                ax.hist(fake, color=self.fake_color, label="Fake", **kw)
             if i == 0 and legend_labels is not None:
                 ax.legend(labels=legend_labels, frameon=False)
             ax.set_ylabel(ylabel)

@@ -1,0 +1,85 @@
+"""Post-hoc spike-metric evaluation of a trained run.
+
+CLI parity with ``/root/reference/compute_metrics.py:549-571`` (same flags),
+re-designed for TPU: spike deconvolution and all four statistics run as
+batched on-device computations instead of a 6-process host pool
+(``--num_processors`` is accepted for compatibility and ignored).
+"""
+
+import argparse
+import os
+from time import time
+
+import numpy as np
+
+from calciumgan_tpu.config import Config
+from calciumgan_tpu.eval import spike_eval
+from calciumgan_tpu.utils import h5, io
+from calciumgan_tpu.utils.summary import Summary
+
+
+def main(config, with_covariance: bool = False):
+    if not os.path.exists(config.output_dir):
+        print(f"{config.output_dir} not found")
+        exit()
+
+    rng = np.random.default_rng(config.seed)
+    config.load()  # re-attach the training run's hparams.json
+    info = io.load_generated_info(config)
+
+    config.num_samples = min(
+        h5.get_dataset_length(config.validation_cache, "signals"), 1000)
+
+    # randomly select neurons and trials to plot (compute_metrics.py:519-525)
+    if config.num_neuron_plots >= config.num_neurons:
+        config.neurons = list(range(config.num_neurons))
+    else:
+        config.neurons = [int(i) for i in rng.choice(
+            config.num_neurons, config.num_neuron_plots, replace=False)]
+    config.trials = [int(i) for i in rng.choice(
+        config.num_samples, min(config.num_trial_plots, config.num_samples),
+        replace=False)]
+
+    summary = Summary(config, spike_metrics=True)
+    epochs = sorted(info.keys())
+    if not config.all_epochs:
+        epochs = [epochs[-1]]  # only the last generated file by default
+
+    all_results = {}
+    for epoch in epochs:
+        start = time()
+        if config.verbose:
+            print(f"\nCompute metrics for {info[epoch]['filename']}")
+        all_results[epoch] = spike_eval.compute_epoch_spike_metrics(
+            config, summary, filename=info[epoch]["filename"], epoch=epoch,
+            rng=rng, with_covariance=with_covariance)
+        elapse = time() - start
+        summary.scalar("elapse/spike_metrics", elapse, step=epoch)
+        if config.verbose:
+            print(f"{info[epoch]['filename']} took {elapse / 60:.02f} mins")
+    return all_results
+
+
+if __name__ == "__main__":
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--output_dir", default="runs")
+    parser.add_argument("--num_processors", default=6, type=int,
+                        help="unused (kept for reference CLI parity; "
+                             "metrics run on-device)")
+    parser.add_argument("--all_epochs", action="store_true")
+    parser.add_argument("--covariance", action="store_true",
+                        help="also compute covariance metrics (the "
+                             "reference implements but disables these)")
+    parser.add_argument("--num_neuron_plots", default=6, type=int)
+    parser.add_argument("--num_trial_plots", default=6, type=int)
+    parser.add_argument("--plots_per_row", default=3, type=int)
+    parser.add_argument("--dpi", default=120, type=int)
+    parser.add_argument("--format", default="pdf", choices=["pdf", "png"])
+    parser.add_argument("--verbose", default=1, type=int)
+    parser.add_argument("--seed", default=12, type=int)
+    args = parser.parse_args()
+
+    with_covariance = args.covariance
+    del args.covariance
+    config = Config.from_args(args)
+    main(config, with_covariance=with_covariance)
