@@ -85,6 +85,9 @@ class Config:
     num_samples: Optional[int] = None
     neurons: Optional[List[int]] = None
     trials: Optional[List[int]] = None
+    # compute_dg_metrics.py flags (reference :204-216)
+    num_trials: int = 5
+    save_plots: bool = False
 
     # --- derived dataset attributes (dataset_helper.py:113-144) ---
     train_size: Optional[int] = None

@@ -107,8 +107,12 @@ def chunked(fn, array: np.ndarray, chunk: int = 128) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 def _load_spikes(config, filename: str, num_samples: int) -> np.ndarray:
-    spikes = h5.get(filename, "spikes")[:num_samples]
-    return np.asarray(spikes, np.float32)
+    """Load spikes as NWC regardless of on-disk layout (the surrogate path
+    stores them neuron-major — reference normalises by dim matching,
+    ``utils.py:155-184``)."""
+    spikes = np.asarray(h5.get(filename, "spikes"), np.float32)
+    spikes = arrays.set_array_format(spikes, "NWC", config)
+    return spikes[:num_samples]
 
 
 def firing_rate_metrics(config, summary, real_spikes, fake_spikes,

@@ -1,0 +1,140 @@
+"""Hyper-parameter grid search.
+
+Parity with ``/root/reference/search.py:83-187``: same default grid
+(noise_dim x num_units x kernel_size x phase_shuffle), per-experiment
+isolation (a failure logs and continues), resume by skipping existing output
+dirs, and per-experiment ``test/*`` metrics written to a ``test`` event-file
+dir. Fixes two reference defects (SURVEY.md §2.11.2): the grid's model name
+(``wavegan`` was renamed ``calciumgan``) and the never-applied
+``phase_shuffle`` value (now wired to ``m``/``n``). Results are additionally
+appended to ``<output_dir>/results.jsonl`` for machine consumption.
+"""
+
+import argparse
+import itertools
+import json
+import os
+import traceback
+import warnings
+from shutil import rmtree
+from time import time
+
+from calciumgan_tpu.config import Config
+from calciumgan_tpu.utils.tb import EventWriter
+
+DEFAULT_GRID = {
+    "algorithm": ["wgan-gp"],
+    "model": ["calciumgan"],
+    "activation": ["leakyrelu"],
+    "noise_dim": [4, 8, 16],
+    "num_units": [8, 16, 32],
+    "kernel_size": [2, 3, 4],
+    "strides": [1],
+    "phase_shuffle": [0, 1],
+    "gradient_penalty": [10.0],
+    "n_critic": [5],
+}
+
+
+def experiment_config(args, session: int, params: dict) -> Config:
+    cfg = Config(
+        input_dir=args.input_dir,
+        output_dir=os.path.join(
+            args.output_dir,
+            "{:03d}_{}_units{}_kl{}_strides{}_ps{}_{}_nd{}".format(
+                session, params["model"], params["num_units"],
+                params["kernel_size"], params["strides"],
+                params["phase_shuffle"], params["activation"],
+                params["noise_dim"])),
+        batch_size=args.batch_size,
+        num_units=params["num_units"],
+        kernel_size=params["kernel_size"],
+        strides=params["strides"],
+        m=params["phase_shuffle"],
+        n=params["phase_shuffle"],
+        epochs=args.epochs,
+        dropout=0.2,
+        learning_rate=1e-4,
+        noise_dim=params["noise_dim"],
+        gradient_penalty=params["gradient_penalty"],
+        model=params["model"],
+        activation=params["activation"],
+        layer_norm=True,
+        algorithm=params["algorithm"],
+        n_critic=params["n_critic"],
+        save_generated="last",
+        mixed_precision=args.mixed_precision,
+        verbose=args.verbose,
+    )
+    cfg.surrogate_ds = "surrogate" in args.input_dir
+    return cfg
+
+
+def run_experiment(config: Config, session: int, params: dict) -> dict:
+    from calciumgan_tpu.train import main as train
+
+    print(f"\nExperiment {session:03d}\n"
+          "-----------------------------------------")
+    for key, value in params.items():
+        print(f"\t{key}: {value}")
+
+    metrics = train(config, return_metrics=True)
+
+    writer = EventWriter(os.path.join(config.output_dir, "test"))
+    for key, item in metrics.items():
+        writer.scalar(f"test/{key}", item, step=config.epochs + 1)
+    writer.close()
+    return metrics
+
+
+def search(args):
+    if args.clear_output_dir and os.path.exists(args.output_dir):
+        rmtree(args.output_dir)
+    os.makedirs(args.output_dir, exist_ok=True)
+
+    grid = dict(DEFAULT_GRID)
+    results_path = os.path.join(args.output_dir, "results.jsonl")
+
+    names = list(grid.keys())
+    for session, values in enumerate(itertools.product(*grid.values()),
+                                     start=1):
+        params = dict(zip(names, values))
+        config = experiment_config(args, session, params)
+        if os.path.exists(config.output_dir):
+            print(f"Experiment {config.output_dir} already exists")
+            continue
+        try:
+            start = time()
+            metrics = run_experiment(config, session, params)
+            elapse = time() - start
+            print(f"\nExperiment {session:03d} completed "
+                  f"in {elapse / 3600:.2f}hrs\n")
+            with open(results_path, "a") as f:
+                f.write(json.dumps({
+                    "session": session, "params": params,
+                    "metrics": {k: float(v) for k, v in metrics.items()},
+                    "elapse": elapse}) + "\n")
+        except Exception as e:
+            print(f"\nExperiment {session:03d} ERROR: {e}")
+            if args.verbose:
+                traceback.print_exc()
+
+    print(f"\nExperiment completed, TensorBoard log at {args.output_dir}")
+
+
+if __name__ == "__main__":
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--input_dir", default="dataset/")
+    parser.add_argument("--output_dir", default="runs/hparams_turning")
+    parser.add_argument("--batch_size", default=64, type=int)
+    parser.add_argument("--epochs", default=400, type=int)
+    parser.add_argument("--clear_output_dir", action="store_true")
+    parser.add_argument("--mixed_precision", action="store_true")
+    parser.add_argument("--verbose", default=0, type=int)
+    args = parser.parse_args()
+
+    if args.verbose == 0:
+        warnings.simplefilter(action="ignore", category=UserWarning)
+        warnings.simplefilter(action="ignore", category=RuntimeWarning)
+
+    search(args)
