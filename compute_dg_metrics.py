@@ -150,11 +150,18 @@ def main(config):
 
 if __name__ == "__main__":
     parser = argparse.ArgumentParser()
+    parser.add_argument("--device", default="auto",
+                        choices=["cpu", "auto"],
+                        help="'cpu' forces the host CPU backend")
     parser.add_argument("--output_dir", default="runs", type=str)
     parser.add_argument("--num_trials", default=5, type=int)
     parser.add_argument("--save_plots", action="store_true")
     parser.add_argument("--format", default="pdf", choices=["pdf", "png"])
     args = parser.parse_args()
+    if args.device == "cpu":
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+    del args.device
 
     warnings.simplefilter(action="ignore", category=UserWarning)
     warnings.simplefilter(action="ignore", category=RuntimeWarning)

@@ -62,6 +62,9 @@ def main(config, with_covariance: bool = False):
 
 if __name__ == "__main__":
     parser = argparse.ArgumentParser()
+    parser.add_argument("--device", default="auto",
+                        choices=["cpu", "auto"],
+                        help="'cpu' forces the host CPU backend")
     parser.add_argument("--output_dir", default="runs")
     parser.add_argument("--num_processors", default=6, type=int,
                         help="unused (kept for reference CLI parity; "
@@ -78,6 +81,10 @@ if __name__ == "__main__":
     parser.add_argument("--verbose", default=1, type=int)
     parser.add_argument("--seed", default=12, type=int)
     args = parser.parse_args()
+    if args.device == "cpu":
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+    del args.device
 
     with_covariance = args.covariance
     del args.covariance
