@@ -123,15 +123,18 @@ class GAN:
     def _forward(self, gparams, dparams, state: GANState, real, key,
                  training: bool):
         """One shared forward pass; deterministic in ``key`` so the two
-        gradient evaluations see identical randomness (and XLA CSEs them)."""
-        k_noise, k_gen, k_real, k_fake = jax.random.split(key, 4)
+        gradient evaluations see identical randomness (and XLA CSEs them).
+        Real and fake ride ONE discriminator pass (concatenated batch) for
+        better MXU utilisation; the phase-shuffle shift is shared between
+        the halves."""
+        k_noise, k_gen, k_both = jax.random.split(key, 3)
         noise = self.get_noise(k_noise, real.shape[0])
         fake, gen_bs = self.gen_apply(
             gparams, state.generator.batch_stats, noise, k_gen, training)
-        real_out, dis_bs = self.dis_apply(
-            dparams, state.discriminator.batch_stats, real, k_real, training)
-        fake_out, dis_bs = self.dis_apply(
-            dparams, dis_bs, fake, k_fake, training)
+        both = jnp.concatenate([real, fake.astype(real.dtype)], axis=0)
+        out, dis_bs = self.dis_apply(
+            dparams, state.discriminator.batch_stats, both, k_both, training)
+        real_out, fake_out = out[:real.shape[0]], out[real.shape[0]:]
         gen_loss = self.generator_loss(fake_out)
         dis_loss = self.discriminator_loss(real_out, fake_out)
         return gen_loss, dis_loss, fake, gen_bs, dis_bs

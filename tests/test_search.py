@@ -1,0 +1,74 @@
+"""Grid-search sweep: runs, records results, resumes by skipping."""
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import search as search_mod  # noqa: E402
+from calciumgan_tpu.data import segments  # noqa: E402
+
+
+@pytest.fixture
+def dataset_dir(tmp_path, rng):
+    data = {"signals": rng.random((4, 700)).astype(np.float32),
+            "oasis": (rng.random((4, 700)) < 0.05).astype(np.float32)}
+    signals, spikes, meta = segments.preprocess(
+        data, 32, 8, do_normalize=True, is_dg_data=True)
+    out = str(tmp_path / "records")
+    segments.write_dataset(out, signals, spikes, meta, 32, 8,
+                           validation_size=8, do_normalize=True,
+                           apply_fft=False, conv2d=False, verbose=0)
+    return out
+
+
+def test_search_runs_and_resumes(tmp_path, dataset_dir, monkeypatch, capsys):
+    monkeypatch.setattr(search_mod, "DEFAULT_GRID", {
+        "algorithm": ["wgan-gp"], "model": ["mlp"],
+        "activation": ["leakyrelu"], "noise_dim": [4, 8], "num_units": [4],
+        "kernel_size": [2], "strides": [1], "phase_shuffle": [0],
+        "gradient_penalty": [10.0], "n_critic": [1],
+    })
+    args = argparse.Namespace(
+        input_dir=dataset_dir, output_dir=str(tmp_path / "sweep"),
+        batch_size=8, epochs=1, clear_output_dir=False,
+        mixed_precision=False, verbose=0)
+    search_mod.search(args)
+
+    results_path = os.path.join(args.output_dir, "results.jsonl")
+    with open(results_path) as f:
+        lines = [json.loads(l) for l in f]
+    assert [l["session"] for l in lines] == [1, 2]
+    assert all("signals_metrics/min" in l["metrics"] for l in lines)
+    assert {l["params"]["noise_dim"] for l in lines} == {4, 8}
+
+    # resume: both experiments skipped, results file unchanged
+    search_mod.search(args)
+    out = capsys.readouterr().out
+    assert out.count("already exists") == 2
+    with open(results_path) as f:
+        assert len(f.readlines()) == 2
+
+
+def test_search_survives_experiment_failure(tmp_path, dataset_dir,
+                                            monkeypatch, capsys):
+    monkeypatch.setattr(search_mod, "DEFAULT_GRID", {
+        "algorithm": ["wgan-gp"], "model": ["mlp", "bogus-model"],
+        "activation": ["leakyrelu"], "noise_dim": [4], "num_units": [4],
+        "kernel_size": [2], "strides": [1], "phase_shuffle": [0],
+        "gradient_penalty": [10.0], "n_critic": [1],
+    })
+    args = argparse.Namespace(
+        input_dir=dataset_dir, output_dir=str(tmp_path / "sweep2"),
+        batch_size=8, epochs=1, clear_output_dir=False,
+        mixed_precision=False, verbose=0)
+    search_mod.search(args)   # must not raise
+    out = capsys.readouterr().out
+    assert "ERROR" in out
+    with open(os.path.join(args.output_dir, "results.jsonl")) as f:
+        assert len(f.readlines()) == 1  # only the valid model recorded
