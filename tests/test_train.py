@@ -92,3 +92,54 @@ def test_main_return_metrics(tmp_path, rng):
     metrics = train_lib.main(cfg, return_metrics=True)
     assert "signals_metrics/min" in metrics
     assert all(np.isfinite(v) for v in metrics.values())
+
+
+def make_variant_dataset(tmp_path, rng, apply_fft=False, conv2d=False,
+                         n_neurons=4, T=800, sl=32, stride=8):
+    data = {"signals": rng.random((n_neurons, T)).astype(np.float32),
+            "oasis": (rng.random((n_neurons, T)) < 0.05).astype(np.float32)}
+    signals, spikes, meta = segments.preprocess(
+        data, sl, stride, apply_fft=apply_fft, conv2d=conv2d,
+        do_normalize=True, is_dg_data=True)
+    out = str(tmp_path / "records")
+    segments.write_dataset(out, signals, spikes, meta, sl, stride,
+                           validation_size=16, do_normalize=True,
+                           apply_fft=apply_fft, conv2d=conv2d, verbose=0)
+    return out
+
+
+def test_main_conv2d_dataset(tmp_path, rng):
+    from main import parse_args
+    input_dir = make_variant_dataset(tmp_path, rng, conv2d=True)
+    cfg = parse_args([
+        "--input_dir", input_dir, "--output_dir", str(tmp_path / "run2d"),
+        "--batch_size", "8", "--num_units", "2", "--kernel_size", "4",
+        "--noise_dim", "4", "--epochs", "1", "--n_critic", "1",
+        "--model", "calciumgan2d", "--algorithm", "wgan-gp", "--m", "1",
+        "--n", "1", "--save_generated", "last", "--skip_checkpoints",
+        "--verbose", "0"])
+    train_lib.main(cfg)
+    assert cfg.conv2d
+    fake = h5.get(os.path.join(cfg.output_dir, "generated",
+                               "epoch000_signals.h5"), "signals")
+    # reverse_preprocessing squeezes the conv2d channel: back to (N, W, C)
+    assert fake.shape == (16, 32, 4)
+    assert np.isfinite(fake).all()
+
+
+def test_main_fft_dataset(tmp_path, rng):
+    from main import parse_args
+    input_dir = make_variant_dataset(tmp_path, rng, apply_fft=True)
+    cfg = parse_args([
+        "--input_dir", input_dir, "--output_dir", str(tmp_path / "runfft"),
+        "--batch_size", "8", "--num_units", "2", "--kernel_size", "4",
+        "--noise_dim", "4", "--epochs", "1", "--n_critic", "1",
+        "--model", "calciumgan", "--algorithm", "gan",
+        "--save_generated", "last", "--skip_checkpoints", "--verbose", "0"])
+    train_lib.main(cfg)
+    assert cfg.fft and cfg.num_channels == 8   # concat(real, imag)
+    fake = h5.get(os.path.join(cfg.output_dir, "generated",
+                               "epoch000_signals.h5"), "signals")
+    # reverse_preprocessing applies the inverse FFT: back to (N, W, neurons)
+    assert fake.shape == (16, 32, 4)
+    assert np.isfinite(fake).all()
