@@ -25,18 +25,32 @@ from calciumgan_tpu.utils import arrays, h5
 # deconvolution
 # ---------------------------------------------------------------------------
 
+def deconvolve_traces(traces: np.ndarray) -> np.ndarray:
+    """Binary spikes for (..., T) traces. Prefers the OpenMP C++ kernel
+    (~75 us/trace/core at sl2048 — 30x the XLA while_loop path, whose
+    per-event scatters are HBM-bound); falls back to the on-device JAX
+    kernel when no native toolchain exists."""
+    from calciumgan_tpu import native
+    shape = traces.shape
+    flat = np.ascontiguousarray(traces.reshape(-1, shape[-1]), np.float32)
+    out = native.deconvolve_batch(flat)
+    if out is None:
+        out = np.asarray(jax.device_get(deconvolve_signals(flat)))
+    return out.reshape(shape)
+
+
 def deconvolve_file(config, filename: str, chunk: int = 256) -> None:
     """Append an int8 ``spikes`` dataset to an epoch h5 file by deconvolving
-    all (trial, neuron) traces on device (reference fans a Pool per neuron —
-    ``compute_metrics.py:41-57``)."""
+    all (trial, neuron) traces in one batched call (reference fans a Pool
+    per neuron — ``compute_metrics.py:41-57``)."""
     if config.verbose:
         print(f"\tDeconvolve {filename}")
     n = h5.get_dataset_length(filename, "signals")
     for start in range(0, n, chunk):
         signals = h5.get(filename, "signals")[start:start + chunk]
-        # NWC -> (N, C, W) so time is the trailing (scan) axis
+        # NWC -> (N, C, W) so time is the trailing axis
         traces = np.transpose(signals, (0, 2, 1))
-        spikes = np.asarray(jax.device_get(deconvolve_signals(traces)))
+        spikes = deconvolve_traces(traces)
         h5.write(filename, {
             "spikes": np.transpose(spikes, (0, 2, 1)).astype(np.int8)})
 

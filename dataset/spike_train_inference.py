@@ -38,8 +38,12 @@ def generate_spike_train(args, filename):
             return
 
     signals = np.asarray(data["signals"], np.float32)
-    oasis = np.asarray(jax.device_get(
-        deconvolve_signals(signals, g=0.95, s_min=0.55, threshold=0.5)))
+    from calciumgan_tpu import native
+    oasis = native.deconvolve_batch(signals, g=0.95, s_min=0.55,
+                                    threshold=0.5)
+    if oasis is None:  # no C++ toolchain: on-device JAX kernel
+        oasis = np.asarray(jax.device_get(
+            deconvolve_signals(signals, g=0.95, s_min=0.55, threshold=0.5)))
     data["oasis"] = oasis.astype(np.float32)
 
     with open(filename, "wb") as f:
