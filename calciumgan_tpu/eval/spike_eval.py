@@ -206,6 +206,36 @@ def covariance_metrics(config, summary, real_spikes, fake_spikes,
     return kl
 
 
+def victor_purpura_metrics(config, summary, real_spikes, fake_spikes,
+                           epoch: int) -> np.ndarray:
+    """Per-trial pairwise Victor-Purpura distance KL (the reference exposes
+    the statistic in ``spike_metrics.py:54-61`` but never wires it into
+    compute_metrics; available here behind ``--victor_purpura``)."""
+    if config.verbose:
+        print("\tComputing Victor-Purpura distance")
+    iu = np.triu_indices(config.num_neurons, k=1)
+    pairs = []
+    for i in range(len(real_spikes)):
+        r = np.asarray(jax.device_get(
+            sm.victor_purpura_distance(real_spikes[i].T)))[iu]
+        f = np.asarray(jax.device_get(
+            sm.victor_purpura_distance(fake_spikes[i].T)))[iu]
+        pairs.append((arrays.remove_nan(r), arrays.remove_nan(f)))
+    summary.plot_histograms_grid(
+        "victor_purpura", data=[pairs[i] for i in config.trials],
+        xlabel="Victor-Purpura distance", ylabel="Count",
+        titles=[f"Sample #{i:03d}" for i in config.trials],
+        step=epoch, legend_labels=["recorded", "synthetic"],
+        plots_per_row=config.plots_per_row)
+    kl = sm.pairs_kl_divergence(pairs)
+    summary.plot_distribution("victor_purpura_kl", data=kl,
+                              xlabel="KL divergence", ylabel="Count",
+                              title="Victor-Purpura distance", step=epoch)
+    if config.verbose:
+        print(f"\t\tmean: {np.nanmean(kl):.04f}")
+    return kl
+
+
 def sort_heatmap(matrix: np.ndarray):
     """Greedy sort so the minimum lands top-left
     (parity: ``compute_metrics.py:359-382``)."""
@@ -314,7 +344,8 @@ def raster_plots(config, summary, filename: str, epoch: int,
 
 def compute_epoch_spike_metrics(config, summary, filename: str, epoch: int,
                                 rng: np.random.Generator,
-                                with_covariance: bool = False
+                                with_covariance: bool = False,
+                                with_victor_purpura: bool = False
                                 ) -> Dict[str, float]:
     """Everything the reference runs per epoch file
     (``compute_metrics.py:488-502``). Returns mean KL per statistic."""
@@ -337,4 +368,8 @@ def compute_epoch_spike_metrics(config, summary, filename: str, epoch: int,
     results["correlation_kl"] = float(np.nanmean(kl))
     kl = van_rossum_metrics(config, summary, real_spikes, fake_spikes, epoch)
     results["van_rossum_kl"] = float(np.nanmean(kl))
+    if with_victor_purpura:
+        kl = victor_purpura_metrics(config, summary, real_spikes,
+                                    fake_spikes, epoch)
+        results["victor_purpura_kl"] = float(np.nanmean(kl))
     return results

@@ -18,7 +18,8 @@ from calciumgan_tpu.utils import h5, io
 from calciumgan_tpu.utils.summary import Summary
 
 
-def main(config, with_covariance: bool = False):
+def main(config, with_covariance: bool = False,
+         with_victor_purpura: bool = False):
     if not os.path.exists(config.output_dir):
         print(f"{config.output_dir} not found")
         exit()
@@ -52,7 +53,8 @@ def main(config, with_covariance: bool = False):
             print(f"\nCompute metrics for {info[epoch]['filename']}")
         all_results[epoch] = spike_eval.compute_epoch_spike_metrics(
             config, summary, filename=info[epoch]["filename"], epoch=epoch,
-            rng=rng, with_covariance=with_covariance)
+            rng=rng, with_covariance=with_covariance,
+            with_victor_purpura=with_victor_purpura)
         elapse = time() - start
         summary.scalar("elapse/spike_metrics", elapse, step=epoch)
         if config.verbose:
@@ -73,6 +75,10 @@ if __name__ == "__main__":
     parser.add_argument("--covariance", action="store_true",
                         help="also compute covariance metrics (the "
                              "reference implements but disables these)")
+    parser.add_argument("--victor_purpura", action="store_true",
+                        help="also compute Victor-Purpura distance metrics "
+                             "(the reference implements but never calls "
+                             "these)")
     parser.add_argument("--num_neuron_plots", default=6, type=int)
     parser.add_argument("--num_trial_plots", default=6, type=int)
     parser.add_argument("--plots_per_row", default=3, type=int)
@@ -87,6 +93,8 @@ if __name__ == "__main__":
     del args.device
 
     with_covariance = args.covariance
-    del args.covariance
+    with_victor_purpura = args.victor_purpura
+    del args.covariance, args.victor_purpura
     config = Config.from_args(args)
-    main(config, with_covariance=with_covariance)
+    main(config, with_covariance=with_covariance,
+         with_victor_purpura=with_victor_purpura)

@@ -51,7 +51,15 @@ def parse_args(argv=None) -> Config:
                         help="-1: all visible devices")
     parser.add_argument("--model_parallelism", default=1, type=int)
     parser.add_argument("--checkpoint_every", default=10, type=int)
+    parser.add_argument("--distributed", action="store_true",
+                        help="multi-host: call jax.distributed.initialize() "
+                             "(coordinator from the standard JAX env vars); "
+                             "data shards are split per process")
     args = parser.parse_args(argv)
+    if args.distributed:
+        import jax
+        jax.distributed.initialize()
+    del args.distributed
 
     config = Config.from_args(args)
     # reference flags surrogate datasets by directory name (main.py:264-265)

@@ -143,3 +143,21 @@ def test_main_fft_dataset(tmp_path, rng):
     # reverse_preprocessing applies the inverse FFT: back to (N, W, neurons)
     assert fake.shape == (16, 32, 4)
     assert np.isfinite(fake).all()
+
+
+def test_profiler_window_writes_trace(tmp_path, rng):
+    from main import parse_args
+    input_dir = make_variant_dataset(tmp_path, rng)
+    cfg = parse_args([
+        "--input_dir", input_dir, "--output_dir", str(tmp_path / "runprof"),
+        "--batch_size", "8", "--num_units", "2", "--kernel_size", "4",
+        "--noise_dim", "4", "--epochs", "2", "--n_critic", "1",
+        "--model", "mlp", "--algorithm", "gan", "--profile",
+        "--skip_checkpoints", "--verbose", "0"])
+    train_lib.main(cfg)
+    prof_dir = os.path.join(cfg.output_dir, "profiler")
+    assert os.path.isdir(prof_dir)
+    found = []
+    for root, _, files in os.walk(prof_dir):
+        found += files
+    assert found, "profiler window produced no trace files"
