@@ -194,3 +194,25 @@ def test_summary_metrics_mode(tmp_path):
     s.plot_distribution("fr", np.random.default_rng(0).uniform(size=50))
     s.flush()
     assert os.path.isdir(os.path.join(cfg.output_dir, "metrics", "plots"))
+
+
+def test_event_files_readable_by_real_tensorboard(tmp_path):
+    """Cross-validation against the actual TensorBoard reader (skipped when
+    the tensorboard package is not installed)."""
+    ea = pytest.importorskip(
+        "tensorboard.backend.event_processing.event_accumulator")
+    logdir = str(tmp_path / "tb")
+    w = EventWriter(logdir)
+    w.scalar("a/b", 1.5, step=3)
+    w.histogram("h", np.random.default_rng(0).normal(size=200), step=1)
+    w.image("img/0", b"\x89PNG-not-really", height=4, width=5, step=2)
+    w.close()
+    acc = ea.EventAccumulator(logdir, size_guidance={
+        "scalars": 0, "histograms": 0, "images": 0})
+    acc.Reload()
+    assert acc.Tags()["scalars"] == ["a/b"]
+    s = acc.Scalars("a/b")[0]
+    assert (s.step, s.value) == (3, 1.5)
+    assert acc.Histograms("h")[0].histogram_value.num == 200.0
+    img = acc.Images("img/0")[0]
+    assert (img.width, img.height) == (5, 4)
