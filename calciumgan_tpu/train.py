@@ -254,8 +254,14 @@ def generate_surrogate_dataset(config, generate_fn, algo, state, mesh,
 # main
 # ---------------------------------------------------------------------------
 
-def main(config, return_metrics: bool = False) -> Optional[Dict[str, float]]:
-    """End-to-end wiring (parity: ``main.py:184-224``)."""
+def main(config, return_metrics: bool = False,
+         devices=None) -> Optional[Dict[str, float]]:
+    """End-to-end wiring (parity: ``main.py:184-224``).
+
+    ``devices`` optionally restricts the run's mesh to a device subset —
+    used by search.py to run sweep experiments concurrently, each on its own
+    slice of the chip mesh.
+    """
     if config.clear_output_dir and os.path.exists(config.output_dir):
         rmtree(config.output_dir)
     os.makedirs(config.output_dir, exist_ok=True)
@@ -268,7 +274,7 @@ def main(config, return_metrics: bool = False) -> Optional[Dict[str, float]]:
     algo = get_algorithm(config, generator, discriminator)
 
     mesh = mesh_lib.create_mesh(config.data_parallelism,
-                                config.model_parallelism)
+                                config.model_parallelism, devices=devices)
     state = algo.init_state(jax.random.PRNGKey(config.seed))
     # place the initial state with its mesh shardings before compiling
     state = jax.device_put(state, mesh_lib.state_shardings(mesh, state))

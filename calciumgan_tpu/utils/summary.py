@@ -13,9 +13,11 @@ inspectable without TensorBoard.
 
 from __future__ import annotations
 
+import functools
 import io
 import os
 import shutil
+import threading
 from typing import Optional, Sequence
 
 import matplotlib
@@ -26,6 +28,18 @@ import matplotlib.pyplot as plt  # noqa: E402
 import numpy as np  # noqa: E402
 
 from calciumgan_tpu.utils.tb import EventWriter  # noqa: E402
+
+# pyplot's implicit current-figure state is process-global; concurrent
+# sweep experiments (search.py --parallel) must serialise their plotting
+_PLT_LOCK = threading.RLock()
+
+
+def _locked(fn):
+    @functools.wraps(fn)
+    def wrapper(*args, **kwargs):
+        with _PLT_LOCK:
+            return fn(*args, **kwargs)
+    return wrapper
 
 REAL_COLOR = "dodgerblue"
 FAKE_COLOR = "orangered"
@@ -112,6 +126,7 @@ class Summary:
         ax.spines["right"].set_visible(False)
 
     # ------------------------------------------------------------------
+    @_locked
     def plot_traces(self, tag, signals, spikes, indexes, ylims=None,
                     xlabel="Time (s)", ylabel=r"$\Delta F/F$", step=0,
                     training=True, is_real=True, signal_label="signal",
@@ -149,6 +164,7 @@ class Summary:
             self._despine(ax)
         self._emit_figure(tag, step, training)
 
+    @_locked
     def raster_plot(self, tag, real_spikes, fake_spikes, xlabel="",
                     ylabel="", legend_labels=None, step=0, training=True):
         """Joint raster (trial x time scatter) with marginal histograms
@@ -192,6 +208,7 @@ class Summary:
                       loc=(0.02, 0.95), fancybox=True, framealpha=1)
         self._emit_figure(tag, step, training)
 
+    @_locked
     def plot_distribution(self, tag, data, xlabel="", ylabel="", title="",
                           bins=30, step=0, training=False):
         fig = plt.figure(figsize=(5, 4))
@@ -208,6 +225,7 @@ class Summary:
         self._despine(ax)
         self._emit_figure(tag, step, training)
 
+    @_locked
     def plot_histogram(self, tag, data, xlabel="", ylabel="", step=0,
                        training=False, legend_labels=None):
         """Real-vs-fake overlaid histogram. Fixes the reference's range bug
@@ -229,6 +247,7 @@ class Summary:
         self._despine(ax)
         self._emit_figure(tag, step, training)
 
+    @_locked
     def plot_histograms_grid(self, tag, data, xlabel="", ylabel="",
                              titles=None, step=0, training=False,
                              legend_labels=None, plots_per_row=3):
@@ -255,6 +274,7 @@ class Summary:
             self._despine(ax)
         self._emit_figure(tag, step, training)
 
+    @_locked
     def plot_heatmaps_grid(self, tag, matrix, xlabel="", ylabel="",
                            xticklabels=None, yticklabels=None, titles=None,
                            step=0, training=False, plots_per_row=3):

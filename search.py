@@ -14,6 +14,7 @@ import argparse
 import itertools
 import json
 import os
+import threading
 import traceback
 import warnings
 from shutil import rmtree
@@ -70,7 +71,8 @@ def experiment_config(args, session: int, params: dict) -> Config:
     return cfg
 
 
-def run_experiment(config: Config, session: int, params: dict) -> dict:
+def run_experiment(config: Config, session: int, params: dict,
+                   devices=None) -> dict:
     from calciumgan_tpu.train import main as train
 
     print(f"\nExperiment {session:03d}\n"
@@ -78,13 +80,35 @@ def run_experiment(config: Config, session: int, params: dict) -> dict:
     for key, value in params.items():
         print(f"\t{key}: {value}")
 
-    metrics = train(config, return_metrics=True)
+    metrics = train(config, return_metrics=True, devices=devices)
 
     writer = EventWriter(os.path.join(config.output_dir, "test"))
     for key, item in metrics.items():
         writer.scalar(f"test/{key}", item, step=config.epochs + 1)
     writer.close()
     return metrics
+
+
+def _run_one(args, results_path, lock, session, params, devices=None):
+    config = experiment_config(args, session, params)
+    if os.path.exists(config.output_dir):
+        print(f"Experiment {config.output_dir} already exists")
+        return
+    try:
+        start = time()
+        metrics = run_experiment(config, session, params, devices=devices)
+        elapse = time() - start
+        print(f"\nExperiment {session:03d} completed "
+              f"in {elapse / 3600:.2f}hrs\n")
+        with lock, open(results_path, "a") as f:
+            f.write(json.dumps({
+                "session": session, "params": params,
+                "metrics": {k: float(v) for k, v in metrics.items()},
+                "elapse": elapse}) + "\n")
+    except Exception as e:
+        print(f"\nExperiment {session:03d} ERROR: {e}")
+        if args.verbose:
+            traceback.print_exc()
 
 
 def search(args):
@@ -94,30 +118,45 @@ def search(args):
 
     grid = dict(DEFAULT_GRID)
     results_path = os.path.join(args.output_dir, "results.jsonl")
-
+    lock = threading.Lock()
     names = list(grid.keys())
-    for session, values in enumerate(itertools.product(*grid.values()),
-                                     start=1):
-        params = dict(zip(names, values))
-        config = experiment_config(args, session, params)
-        if os.path.exists(config.output_dir):
-            print(f"Experiment {config.output_dir} already exists")
-            continue
-        try:
-            start = time()
-            metrics = run_experiment(config, session, params)
-            elapse = time() - start
-            print(f"\nExperiment {session:03d} completed "
-                  f"in {elapse / 3600:.2f}hrs\n")
-            with open(results_path, "a") as f:
-                f.write(json.dumps({
-                    "session": session, "params": params,
-                    "metrics": {k: float(v) for k, v in metrics.items()},
-                    "elapse": elapse}) + "\n")
-        except Exception as e:
-            print(f"\nExperiment {session:03d} ERROR: {e}")
-            if args.verbose:
-                traceback.print_exc()
+    sessions = [(s, dict(zip(names, values))) for s, values in enumerate(
+        itertools.product(*grid.values()), start=1)]
+
+    parallel = getattr(args, "parallel", 1)
+    if parallel <= 1:
+        for session, params in sessions:
+            _run_one(args, results_path, lock, session, params)
+    else:
+        # experiment parallelism over the device mesh (BASELINE config 5):
+        # the sweep is split over `parallel` worker threads, each training
+        # on its own contiguous slice of the visible devices; jax dispatch
+        # releases the GIL so experiments overlap on-chip
+        import jax
+        devices = jax.devices()
+        if len(devices) % parallel:
+            raise ValueError(f"{len(devices)} devices not divisible by "
+                             f"--parallel {parallel}")
+        per = len(devices) // parallel
+        queue_lock = threading.Lock()
+        it = iter(sessions)
+
+        def worker(idx):
+            subset = devices[idx * per:(idx + 1) * per]
+            while True:
+                with queue_lock:
+                    item = next(it, None)
+                if item is None:
+                    return
+                _run_one(args, results_path, lock, item[0], item[1],
+                         devices=subset)
+
+        threads = [threading.Thread(target=worker, args=(i,))
+                   for i in range(parallel)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
 
     print(f"\nExperiment completed, TensorBoard log at {args.output_dir}")
 
@@ -130,6 +169,9 @@ if __name__ == "__main__":
     parser.add_argument("--epochs", default=400, type=int)
     parser.add_argument("--clear_output_dir", action="store_true")
     parser.add_argument("--mixed_precision", action="store_true")
+    parser.add_argument("--parallel", default=1, type=int,
+                        help="run N experiments concurrently, each on its "
+                             "own 1/N slice of the visible devices")
     parser.add_argument("--verbose", default=0, type=int)
     args = parser.parse_args()
 

@@ -72,3 +72,23 @@ def test_search_survives_experiment_failure(tmp_path, dataset_dir,
     assert "ERROR" in out
     with open(os.path.join(args.output_dir, "results.jsonl")) as f:
         assert len(f.readlines()) == 1  # only the valid model recorded
+
+def test_search_parallel_over_device_slices(tmp_path, dataset_dir,
+                                            monkeypatch):
+    """Two experiments run concurrently, each on a 4-device slice of the
+    faked 8-device mesh (BASELINE config 5)."""
+    monkeypatch.setattr(search_mod, "DEFAULT_GRID", {
+        "algorithm": ["wgan-gp"], "model": ["mlp"],
+        "activation": ["leakyrelu"], "noise_dim": [4, 8], "num_units": [4],
+        "kernel_size": [2], "strides": [1], "phase_shuffle": [0],
+        "gradient_penalty": [10.0], "n_critic": [1],
+    })
+    args = argparse.Namespace(
+        input_dir=dataset_dir, output_dir=str(tmp_path / "psweep"),
+        batch_size=8, epochs=1, clear_output_dir=False,
+        mixed_precision=False, parallel=2, verbose=0)
+    search_mod.search(args)
+    with open(os.path.join(args.output_dir, "results.jsonl")) as f:
+        lines = [json.loads(l) for l in f]
+    assert sorted(l["session"] for l in lines) == [1, 2]
+    assert all(np.isfinite(list(l["metrics"].values())).all() for l in lines)
