@@ -74,15 +74,14 @@ def masked_crc32c(data: bytes) -> int:
 
 class TFRecordWriter:
 
-    def __init__(self, path: str):
-        self._f = open(path, "wb")
+    def __init__(self, path: str, buffering: int = 4 * 1024 * 1024):
+        self._f = open(path, "wb", buffering=buffering)
 
     def write(self, data: bytes) -> None:
         length = struct.pack("<Q", len(data))
-        self._f.write(length)
-        self._f.write(struct.pack("<I", masked_crc32c(length)))
-        self._f.write(data)
-        self._f.write(struct.pack("<I", masked_crc32c(data)))
+        # one buffered write per record (the framing pieces are tiny)
+        self._f.write(length + struct.pack("<I", masked_crc32c(length)) +
+                      data + struct.pack("<I", masked_crc32c(data)))
 
     def close(self):
         self._f.close()
