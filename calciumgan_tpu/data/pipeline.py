@@ -91,17 +91,29 @@ def apply_dataset_info(config, info: dict) -> None:
 def _read_shards(pattern: str, signal_shape, spike_shape,
                  process_index: int = 0, process_count: int = 1
                  ) -> ArrayDataset:
-    files = sorted(glob.glob(pattern))
-    if not files:
+    all_files = sorted(glob.glob(pattern))
+    if not all_files:
         raise FileNotFoundError(f"no record files match {pattern}")
-    # multi-host: each process reads an interleaved subset of shards
-    files = files[process_index::process_count]
+    # multi-host: each process reads an interleaved subset of shards; when
+    # there are fewer shards than processes, fall back to record-level
+    # interleaving over all shards so every process holds data
+    files = all_files[process_index::process_count]
+    record_stride = 1
+    if not files:
+        files = all_files
+        record_stride = process_count
     signals, spikes = [], []
     for path in files:
-        for signal, spike in tfrecord.read_signal_records(
-                path, signal_shape, spike_shape):
-            signals.append(signal)
-            spikes.append(spike)
+        for i, (signal, spike) in enumerate(tfrecord.read_signal_records(
+                path, signal_shape, spike_shape)):
+            if record_stride == 1 or i % record_stride == \
+                    process_index % record_stride:
+                signals.append(signal)
+                spikes.append(spike)
+    if not signals:
+        raise ValueError(
+            f"process {process_index}/{process_count} received no records "
+            f"for {pattern}")
     return ArrayDataset(np.stack(signals), np.stack(spikes))
 
 
@@ -205,19 +217,21 @@ class DevicePrefetcher:
     ``prefetch(4)`` — ``dataset_helper.py:174``).
     """
 
-    def __init__(self, iterator, sharding, depth: int = 2):
-        """``sharding``: a Sharding, or a callable array -> Sharding (so
-        tuple elements of different rank get rank-appropriate shardings)."""
+    def __init__(self, iterator, put, depth: int = 2):
+        """``put``: callable array -> on-device Array (e.g. a closure over
+        :func:`calciumgan_tpu.parallel.mesh.put_batch`), or a Sharding for a
+        plain ``device_put``."""
         self._iterator = iterator
-        self._sharding = sharding
+        self._put_fn = put
         self._q: queue.Queue = queue.Queue(maxsize=depth)
         self._thread = threading.Thread(target=self._worker, daemon=True)
         self._thread.start()
 
     def _put(self, a):
         a = np.asarray(a)
-        s = self._sharding(a) if callable(self._sharding) else self._sharding
-        return jax.device_put(a, s)
+        if callable(self._put_fn):
+            return self._put_fn(a)
+        return jax.device_put(a, self._put_fn)
 
     def _worker(self):
         try:

@@ -47,7 +47,8 @@ def deconvolve_file(config, filename: str, chunk: int = 256) -> None:
         print(f"\tDeconvolve {filename}")
     n = h5.get_dataset_length(filename, "signals")
     for start in range(0, n, chunk):
-        signals = h5.get(filename, "signals")[start:start + chunk]
+        signals = h5.get(filename, "signals", start=start,
+                         stop=start + chunk)
         # NWC -> (N, C, W) so time is the trailing axis
         traces = np.transpose(signals, (0, 2, 1))
         spikes = deconvolve_traces(traces)

@@ -122,13 +122,47 @@ def make_step_fns(algo, mesh: Mesh, state: Any):
     return train, evaluate, generate
 
 
+def local_batch_size(global_batch: int) -> int:
+    """Per-process batch rows for a global batch (multi-host: each process
+    feeds its share; single host: the full batch)."""
+    count = jax.process_count()
+    if global_batch % count:
+        raise ValueError(
+            f"batch_size {global_batch} not divisible by process count "
+            f"{count}")
+    return global_batch // count
+
+
+def put_batch(mesh: Mesh, a: np.ndarray):
+    """Assemble a globally-sharded batch from this process's local rows.
+
+    Single host: a plain ``device_put`` with batch sharding. Multi-host:
+    ``jax.make_array_from_process_local_data`` so each process contributes
+    its own rows instead of every process shipping (and mostly discarding) a
+    full global batch."""
+    a = np.asarray(a)
+    sharding = batch_sharding(mesh, a.ndim)
+    if jax.process_count() == 1:
+        return jax.device_put(a, sharding)
+    global_shape = (a.shape[0] * jax.process_count(),) + a.shape[1:]
+    return jax.make_array_from_process_local_data(sharding, a, global_shape)
+
+
+def local_rows(array) -> np.ndarray:
+    """This process's rows of a batch-sharded global array (row order
+    preserved). Single host: the whole array."""
+    if jax.process_count() == 1:
+        return np.asarray(jax.device_get(array))
+    shards = sorted(array.addressable_shards,
+                    key=lambda s: s.index[0].start or 0)
+    return np.concatenate([np.asarray(jax.device_get(s.data))
+                           for s in shards], axis=0)
+
+
 def shard_batch(mesh: Mesh, *arrays):
-    """Device-put host arrays with batch sharding (pads nothing: callers
-    must provide batch sizes divisible by the data-axis size)."""
-    out = []
-    for a in arrays:
-        a = np.asarray(a)
-        out.append(jax.device_put(a, batch_sharding(mesh, a.ndim)))
+    """Stage host arrays as globally-sharded batches (see :func:`put_batch`;
+    callers provide per-process rows divisible by the local device count)."""
+    out = [put_batch(mesh, a) for a in arrays]
     return out[0] if len(out) == 1 else tuple(out)
 
 

@@ -44,18 +44,20 @@ def _progress(iterable, desc, total, verbose):
         return iterable
 
 
-def count_params(params) -> int:
-    return sum(np.prod(p.shape) for p in jax.tree_util.tree_leaves(params)
-               if hasattr(p, "shape"))
+from calciumgan_tpu.models.base import count_params
 
 
-def _mean_logs(all_logs) -> Dict[str, float]:
+def _mean_logs(all_logs, weights=None) -> Dict[str, float]:
+    """Average per-batch log dicts, optionally weighted (validation weights
+    by real rows so pad_to_multiple filler doesn't bias the means)."""
     out: Dict[str, float] = {}
     if not all_logs:
         return out
     host = [jax.device_get(l) for l in all_logs]
+    w = None if weights is None else np.asarray(weights, np.float64)
     for key in host[0]:
-        out[key] = float(np.mean([np.asarray(l[key]) for l in host]))
+        vals = np.asarray([np.asarray(l[key]) for l in host], np.float64)
+        out[key] = float(np.average(vals, weights=w))
     return out
 
 
@@ -76,16 +78,18 @@ def train_epoch(config, dataset, train_fn, state, summary: Summary,
                 epoch: int, run_key, mesh) -> Tuple:
     """One pass over the training set (parity: ``main.py:33-75``)."""
     rng = np.random.default_rng(config.seed + epoch)
-    batches = dataset.batches(config.batch_size, shuffle=True, rng=rng,
+    # multi-host: each process feeds its rows of the global batch
+    local_bs = mesh_lib.local_batch_size(config.batch_size)
+    batches = dataset.batches(local_bs, shuffle=True, rng=rng,
                               drop_remainder=True)
     signals_only = (s for s, _ in batches)
     prefetch = pipeline.DevicePrefetcher(
-        signals_only, lambda a: mesh_lib.batch_sharding(mesh, a.ndim))
+        signals_only, lambda a: mesh_lib.put_batch(mesh, a))
 
     all_logs = []
     start = time()
     profiling = False
-    steps = dataset.steps(config.batch_size, drop_remainder=True)
+    steps = dataset.steps(local_bs, drop_remainder=True)
     for batch_count, signal in enumerate(
             _progress(prefetch, "Train", steps, config.verbose)):
         if config.profile and epoch == 1 and batch_count == 2:
@@ -118,24 +122,26 @@ def validate_epoch(config, dataset, eval_fn, state, summary: Summary,
          (epoch % 10 == 0 or epoch == config.epochs - 1)) or
         (config.save_generated == "last" and epoch == config.epochs - 1))
 
-    all_logs = []
+    all_logs, weights = [], []
     start = time()
-    steps = dataset.steps(config.batch_size)
-    it = dataset.batches(config.batch_size)
+    local_bs = mesh_lib.local_batch_size(config.batch_size)
+    steps = dataset.steps(local_bs)
+    it = dataset.batches(local_bs)
     for i, (signal, _) in enumerate(
             _progress(it, "Validate", steps, config.verbose)):
-        signal, real_count = mesh_lib.pad_to_multiple(
-            signal, config.batch_size)
+        signal, real_count = mesh_lib.pad_to_multiple(signal, local_bs)
         signal = mesh_lib.shard_batch(mesh, signal)
         step_key = jax.random.fold_in(run_key, 10**9 + epoch * steps + i)
         fake, logs = eval_fn(state, signal, step_key)
         all_logs.append(logs)
+        weights.append(real_count)
         if save_generated:
-            io.save_fake_signals(
-                config, epoch, np.asarray(jax.device_get(fake))[:real_count])
+            # each process writes its own rows of the global batch
+            local = mesh_lib.local_rows(fake)
+            io.save_fake_signals(config, epoch, local[:real_count])
     elapse = time() - start
 
-    logs = _mean_logs(all_logs)
+    logs = _mean_logs(all_logs, weights=weights)
     summary.log(logs, elapse=elapse, step=epoch, training=False)
     return logs
 
@@ -178,8 +184,8 @@ def train_and_validate(config, train_ds, validation_ds, algo, fns, state,
     one = np.asarray(
         jax.device_get(algo.get_noise(jax.random.fold_in(run_key, 2**31 - 1),
                                       1)))
-    test_noise = jax.device_put(np.repeat(one, n_dev, axis=0),
-                                mesh_lib.batch_sharding(mesh, 2))
+    local_rows = max(1, n_dev // jax.process_count())
+    test_noise = mesh_lib.put_batch(mesh, np.repeat(one, local_rows, axis=0))
 
     for epoch in range(config.start_epoch, config.epochs):
         if config.verbose:
@@ -191,7 +197,10 @@ def train_and_validate(config, train_ds, validation_ds, algo, fns, state,
         val_logs = validate_epoch(config, validation_ds, eval_fn, state,
                                   summary, epoch, run_key, mesh)
 
-        if epoch % 10 == 0 or epoch == config.epochs - 1:
+        # reference hard-codes a 10-epoch cadence (main.py:141);
+        # --checkpoint_every makes it configurable
+        every = max(1, config.checkpoint_every)
+        if epoch % every == 0 or epoch == config.epochs - 1:
             sample_and_plot(config, algo, generate_fn, state, summary, epoch,
                             test_noise)
             if not config.skip_checkpoints:
@@ -214,13 +223,15 @@ def test(config, validation_ds, eval_fn, state, mesh) -> Dict[str, float]:
     """Final metric aggregation for hparam search (parity:
     ``main.py:168-181``)."""
     key = jax.random.PRNGKey(config.seed + 777)
-    all_logs = []
-    for i, (signal, _) in enumerate(validation_ds.batches(config.batch_size)):
-        signal, _ = mesh_lib.pad_to_multiple(signal, config.batch_size)
+    local_bs = mesh_lib.local_batch_size(config.batch_size)
+    all_logs, weights = [], []
+    for i, (signal, _) in enumerate(validation_ds.batches(local_bs)):
+        signal, real_count = mesh_lib.pad_to_multiple(signal, local_bs)
         signal = mesh_lib.shard_batch(mesh, signal)
         _, logs = eval_fn(state, signal, jax.random.fold_in(key, i))
         all_logs.append(logs)
-    return _mean_logs(all_logs)
+        weights.append(real_count)
+    return _mean_logs(all_logs, weights=weights)
 
 
 def generate_surrogate_dataset(config, generate_fn, algo, state, mesh,
@@ -232,21 +243,29 @@ def generate_surrogate_dataset(config, generate_fn, algo, state, mesh,
     batch_size = -(-1000 // n_dev) * n_dev  # reference batches at ~1000
     num_samples = -(-num_samples // batch_size) * batch_size
     key = jax.random.PRNGKey(config.seed + 999)
-    generated = np.zeros((num_samples,) + tuple(config.signal_shape),
+    # multi-host: each process generates and persists its own rows; the
+    # files shard the global sample set (single host: one file, all rows)
+    proc, nproc = jax.process_index(), jax.process_count()
+    local_bs = batch_size // nproc
+    local_total = num_samples // nproc
+    generated = np.zeros((local_total,) + tuple(config.signal_shape),
                          np.float32)
-    for i in _progress(range(0, num_samples, batch_size), "Surrogate",
-                       num_samples // batch_size, config.verbose):
+    for step, i in enumerate(_progress(
+            range(0, num_samples, batch_size), "Surrogate",
+            num_samples // batch_size, config.verbose)):
         k = jax.random.fold_in(key, i)
         noise = np.asarray(jax.device_get(algo.get_noise(k, batch_size)))
-        noise = jax.device_put(noise, mesh_lib.batch_sharding(mesh, 2))
+        noise = mesh_lib.put_batch(
+            mesh, noise[proc * local_bs:(proc + 1) * local_bs])
         fake = generate_fn(state, noise, k)
-        generated[i:i + batch_size] = algo.denormalize(
-            np.asarray(jax.device_get(fake)))
-    filename = os.path.join(config.output_dir, "generated.pkl")
+        rows = algo.denormalize(mesh_lib.local_rows(fake))
+        generated[step * local_bs:(step + 1) * local_bs] = rows
+    suffix = f".{proc:03d}" if nproc > 1 else ""
+    filename = os.path.join(config.output_dir, f"generated.pkl{suffix}")
     with open(filename, "wb") as f:
         pickle.dump({"signals": generated}, f)
     if config.verbose:
-        print(f"save {num_samples} samples to {filename}")
+        print(f"save {local_total} samples to {filename}")
     return filename
 
 

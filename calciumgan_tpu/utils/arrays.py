@@ -12,8 +12,16 @@ import numpy as np
 
 
 def get_array_format(shape, config) -> str:
-    """Infer 'N'/'W'/'C' per dim: W == sequence_length, C == num_neurons."""
+    """Infer 'N'/'W'/'C' per dim: W == sequence_length, C == num_neurons.
+
+    The inference is only well-defined when the two differ — otherwise every
+    matching dim would be tagged 'W' and transposes would silently be wrong.
+    """
     assert len(shape) <= 3
+    if config.sequence_length == config.num_neurons:
+        raise ValueError(
+            "array-format inference is ambiguous: sequence_length == "
+            f"num_neurons == {config.sequence_length}")
     return "".join(
         "W" if s == config.sequence_length else
         "C" if s == config.num_neurons else "N" for s in shape)

@@ -42,8 +42,10 @@ def overwrite(filename: str, name: str, value: np.ndarray) -> None:
 
 
 def get(filename: str, name: str, neuron: Optional[int] = None,
-        trial: Optional[int] = None) -> np.ndarray:
-    """Read a dataset; ``neuron`` slices NWC -> (N, W), ``trial`` -> (W, C)."""
+        trial: Optional[int] = None, start: Optional[int] = None,
+        stop: Optional[int] = None) -> np.ndarray:
+    """Read a dataset; ``neuron`` slices NWC -> (N, W), ``trial`` -> (W, C),
+    ``start``/``stop`` range-read dim 0 without loading the rest."""
     assert not (neuron is not None and trial is not None)
     with h5py.File(filename, mode="r") as f:
         if name not in f:
@@ -53,6 +55,8 @@ def get(filename: str, name: str, neuron: Optional[int] = None,
             return ds[:, :, neuron]
         if trial is not None:
             return ds[trial, :, :]
+        if start is not None or stop is not None:
+            return ds[start:stop]
         return ds[:]
 
 

@@ -170,14 +170,15 @@ def test_reverse_preprocessing_roundtrip(rng):
 
 def test_device_prefetcher(tmp_path, rng):
     import jax
-    from calciumgan_tpu.parallel import batch_sharding, create_mesh
+    from calciumgan_tpu.parallel import create_mesh
+    from calciumgan_tpu.parallel.mesh import put_batch
     out, _, _ = make_dataset_dir(tmp_path, rng)
     cfg = Config(input_dir=out, batch_size=8)
     train, _ = pipeline.get_datasets(cfg)
     mesh = create_mesh(data_parallelism=8)
     pf = pipeline.DevicePrefetcher(
         train.batches(8, drop_remainder=True),
-        lambda a: batch_sharding(mesh, a.ndim))
+        lambda a: put_batch(mesh, a))
     count = 0
     for sig, spk in pf:
         assert sig.shape == (8, 32, 4)

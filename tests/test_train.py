@@ -161,3 +161,26 @@ def test_profiler_window_writes_trace(tmp_path, rng):
     for root, _, files in os.walk(prof_dir):
         found += files
     assert found, "profiler window produced no trace files"
+
+
+def test_checkpoint_every_flag(tmp_path, rng):
+    from main import parse_args
+    input_dir = make_variant_dataset(tmp_path, rng)
+    cfg = parse_args([
+        "--input_dir", input_dir, "--output_dir", str(tmp_path / "runck"),
+        "--batch_size", "8", "--num_units", "2", "--kernel_size", "4",
+        "--noise_dim", "4", "--epochs", "3", "--n_critic", "1",
+        "--model", "mlp", "--algorithm", "gan", "--checkpoint_every", "1",
+        "--verbose", "0"])
+    train_lib.main(cfg)
+    ckpts = glob.glob(os.path.join(cfg.output_dir, "checkpoints",
+                                   "epoch-*.msgpack"))
+    assert len(ckpts) == 3
+
+
+def test_mean_logs_weighted():
+    logs = [{"a": np.float32(1.0)}, {"a": np.float32(3.0)}]
+    out = train_lib._mean_logs(logs, weights=[3, 1])
+    assert out["a"] == pytest.approx(1.5)
+    out = train_lib._mean_logs(logs)
+    assert out["a"] == pytest.approx(2.0)
