@@ -94,6 +94,22 @@ def _read_shards(pattern: str, signal_shape, spike_shape,
     all_files = sorted(glob.glob(pattern))
     if not all_files:
         raise FileNotFoundError(f"no record files match {pattern}")
+
+    # decoded-array cache (the tf.data cache() analog — the reference
+    # decodes records once per run and caches in RAM,
+    # ``dataset_helper.py:171``): first decode persists signals/spikes as
+    # .npy next to the records; later runs (e.g. checkpoint resumes) memmap
+    # them instantly instead of re-decoding gigabytes of protobuf
+    newest = max(os.path.getmtime(f) for f in all_files)
+    tag = os.path.basename(pattern).split("-")[0].rstrip("*")
+    cache_base = os.path.join(
+        os.path.dirname(pattern),
+        f".{tag}.cache-{process_index:03d}-of-{process_count:03d}")
+    sig_npy, spk_npy = cache_base + ".signals.npy", cache_base + ".spikes.npy"
+    if (os.path.exists(sig_npy) and os.path.exists(spk_npy)
+            and os.path.getmtime(sig_npy) >= newest):
+        return ArrayDataset(np.load(sig_npy, mmap_mode="r"),
+                            np.load(spk_npy, mmap_mode="r"))
     # multi-host: each process reads an interleaved subset of shards; when
     # there are fewer shards than processes, fall back to record-level
     # interleaving over all shards so every process holds data
@@ -114,7 +130,15 @@ def _read_shards(pattern: str, signal_shape, spike_shape,
         raise ValueError(
             f"process {process_index}/{process_count} received no records "
             f"for {pattern}")
-    return ArrayDataset(np.stack(signals), np.stack(spikes))
+    signals, spikes = np.stack(signals), np.stack(spikes)
+    try:  # best-effort cache write (atomic)
+        np.save(sig_npy + ".tmp.npy", signals)
+        np.save(spk_npy + ".tmp.npy", spikes)
+        os.replace(sig_npy + ".tmp.npy", sig_npy)
+        os.replace(spk_npy + ".tmp.npy", spk_npy)
+    except OSError:
+        pass
+    return ArrayDataset(signals, spikes)
 
 
 def load_tfrecord_datasets(config) -> Tuple[ArrayDataset, ArrayDataset]:
