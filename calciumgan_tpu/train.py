@@ -273,6 +273,24 @@ def generate_surrogate_dataset(config, generate_fn, algo, state, mesh,
 # main
 # ---------------------------------------------------------------------------
 
+def enable_compilation_cache() -> None:
+    """Persistent XLA compilation cache: a preempted run resumed from a
+    checkpoint skips the minutes-long recompile of the train step. Location
+    override via CALCIUMGAN_CACHE; disable with CALCIUMGAN_CACHE=0."""
+    cache_dir = os.environ.get(
+        "CALCIUMGAN_CACHE",
+        os.path.join(os.path.expanduser("~"), ".cache", "calciumgan_tpu",
+                     "xla"))
+    if cache_dir == "0":
+        return
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception:
+        pass  # older jax or read-only home: compile as usual
+
+
 def main(config, return_metrics: bool = False,
          devices=None) -> Optional[Dict[str, float]]:
     """End-to-end wiring (parity: ``main.py:184-224``).
@@ -281,6 +299,7 @@ def main(config, return_metrics: bool = False,
     used by search.py to run sweep experiments concurrently, each on its own
     slice of the chip mesh.
     """
+    enable_compilation_cache()
     if config.clear_output_dir and os.path.exists(config.output_dir):
         rmtree(config.output_dir)
     os.makedirs(config.output_dir, exist_ok=True)
