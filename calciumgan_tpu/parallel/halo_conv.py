@@ -1,0 +1,97 @@
+"""Sequence-parallel 1-D convolution with halo exchange.
+
+The reference handles long recordings purely offline (windowed segmentation,
+``dataset/generate_tfrecords.py:81-89``) and never shards the time axis.
+SURVEY.md §5.7 notes the TPU-native extension: if sequences far beyond
+sl2048 are ever needed, shard the time dimension across the mesh and
+exchange K-1 frames of halo between neighbours — the convolution analogue of
+context parallelism (small halos: kernel 24, 5 layers).
+
+This module implements that primitive: a SAME-padded strided conv1d over an
+input whose time axis is sharded across a mesh axis, built from
+``shard_map`` + ``lax.ppermute`` ring exchanges over ICI. Each shard:
+
+1. sends its right edge to its right neighbour (which needs it as left
+   halo) and its left edge to its left neighbour,
+2. zero-pads at the global boundaries (SAME semantics),
+3. runs a VALID conv over [left_halo | local | right_halo].
+
+Alignment: with global width W, kernel K, stride s, SAME output ceil(W/s)
+and total padding P = K - s (for W % s == 0), split L = P // 2. Output
+element j reads inputs [j*s - L, j*s - L + K), so a shard of width Ws
+(Ws % s == 0) needs a left halo of L and a right halo of K - s - L.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def halo_sizes(kernel: int, stride: int) -> tuple:
+    """(left, right) halo frames per shard for SAME conv."""
+    if kernel < stride:
+        return 0, 0
+    total = kernel - stride
+    left = total // 2
+    return left, total - left
+
+
+def halo_conv1d(x: jnp.ndarray, kernel: jnp.ndarray, stride: int,
+                mesh: Mesh, axis: str) -> jnp.ndarray:
+    """SAME strided conv over a time-sharded (B, W, C) input.
+
+    ``x``: local function input, W sharded over mesh axis ``axis`` (use via
+    the returned jitted callable from :func:`make_halo_conv1d`, or call
+    inside your own shard_map). ``kernel``: (K, C_in, C_out), replicated.
+    Requires W_shard % stride == 0.
+    """
+    n_shards = mesh.shape[axis]
+    K = kernel.shape[0]
+    if K < stride:
+        raise ValueError(f"kernel {K} < stride {stride} is unsupported")
+    left, right = halo_sizes(K, stride)
+
+    def local(x_local, k_full):
+        idx = lax.axis_index(axis)
+        # ring exchange: each shard receives its left neighbour's right edge
+        # and its right neighbour's left edge
+        if left > 0:
+            from_left = lax.ppermute(
+                x_local[:, -left:, :], axis,
+                [(i, (i + 1) % n_shards) for i in range(n_shards)])
+            from_left = jnp.where(idx == 0, 0.0, from_left)  # global edge
+        else:
+            from_left = jnp.zeros(
+                (x_local.shape[0], 0, x_local.shape[2]), x_local.dtype)
+        if right > 0:
+            from_right = lax.ppermute(
+                x_local[:, :right, :], axis,
+                [(i, (i - 1) % n_shards) for i in range(n_shards)])
+            from_right = jnp.where(idx == n_shards - 1, 0.0, from_right)
+        else:
+            from_right = jnp.zeros(
+                (x_local.shape[0], 0, x_local.shape[2]), x_local.dtype)
+        x_ext = jnp.concatenate([from_left, x_local, from_right], axis=1)
+        return lax.conv_general_dilated(
+            x_ext, k_full, window_strides=(stride,), padding="VALID",
+            dimension_numbers=("NWC", "WIO", "NWC"))
+
+    return jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(None, axis, None), P()),
+        out_specs=P(None, axis, None),
+        check_rep=False)(x, kernel)
+
+
+def make_halo_conv1d(mesh: Mesh, axis: str, stride: int):
+    """Jitted (x, kernel) -> y with W sharded over ``axis``."""
+    def fn(x, kernel):
+        return halo_conv1d(x, kernel, stride, mesh, axis)
+
+    sharded = NamedSharding(mesh, P(None, axis, None))
+    rep = NamedSharding(mesh, P())
+    return jax.jit(fn, in_shardings=(sharded, rep), out_shardings=sharded)
