@@ -84,7 +84,7 @@ def halo_conv1d(x: jnp.ndarray, kernel: jnp.ndarray, stride: int,
         local, mesh=mesh,
         in_specs=(P(None, axis, None), P()),
         out_specs=P(None, axis, None),
-        check_rep=False)(x, kernel)
+        check_vma=False)(x, kernel)
 
 
 def make_halo_conv1d(mesh: Mesh, axis: str, stride: int):
