@@ -29,7 +29,10 @@ def main():
     from calciumgan_tpu.algorithms.registry import get_algorithm
     from calciumgan_tpu.models.registry import get_models
     from calciumgan_tpu.parallel import mesh as mesh_lib
+    from calciumgan_tpu.train import enable_compilation_cache
     from __graft_entry__ import _flagship_config
+
+    enable_compilation_cache()
 
     n_dev = len(jax.devices())
     batch_size = 128
