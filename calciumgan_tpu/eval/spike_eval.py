@@ -373,4 +373,7 @@ def compute_epoch_spike_metrics(config, summary, filename: str, epoch: int,
         kl = victor_purpura_metrics(config, summary, real_spikes,
                                     fake_spikes, epoch)
         results["victor_purpura_kl"] = float(np.nanmean(kl))
+    for tag, value in results.items():
+        if np.isfinite(value):
+            summary.scalar(f"spike_metrics/{tag}", value, step=epoch)
     return results
