@@ -216,3 +216,18 @@ def test_event_files_readable_by_real_tensorboard(tmp_path):
     assert acc.Histograms("h")[0].histogram_value.num == 200.0
     img = acc.Images("img/0")[0]
     assert (img.width, img.height) == (5, 4)
+
+
+def test_tb_reader_roundtrip(tmp_path):
+    from calciumgan_tpu.utils import tb_reader
+    logdir = str(tmp_path / "r")
+    w = EventWriter(logdir)
+    w.scalar("loss", 2.0, step=1)
+    w.scalar("loss", 1.0, step=2)
+    w.scalar("acc", 0.5, step=2)
+    w.close()
+    series = tb_reader.read_scalars(logdir)
+    assert series["loss"] == {1: 2.0, 2: 1.0}
+    assert tb_reader.last_value(logdir, "loss") == (2, 1.0)
+    with pytest.raises(KeyError):
+        tb_reader.last_value(logdir, "nope")
