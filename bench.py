@@ -62,15 +62,20 @@ def main():
         state, logs = train_fn(state, batch, jax.random.fold_in(key, i))
         sync(logs)
 
-    # median per-step wall time (robust to transient contention on a
-    # shared chip), each step synchronised through device_get
+    # pipelined throughput: chain `steps` dispatches and sync once on the
+    # final step's logs (whose value depends on the whole state chain) —
+    # this is how the training loop actually runs; per-step sync would add
+    # ~30 ms of host/tunnel RPC per step. Median of 3 repetitions for
+    # robustness to transient contention on a shared chip.
     steps = 20
     times = []
-    for i in range(steps):
+    for r in range(3):
         start = time.perf_counter()
-        state, logs = train_fn(state, batch, jax.random.fold_in(key, 100 + i))
+        for i in range(steps):
+            state, logs = train_fn(
+                state, batch, jax.random.fold_in(key, 100 + steps * r + i))
         sync(logs)
-        times.append(time.perf_counter() - start)
+        times.append((time.perf_counter() - start) / steps)
 
     steps_per_sec = 1.0 / float(np.median(times))
     print(json.dumps({
