@@ -95,3 +95,19 @@ def test_roundtrip_filter_then_deconvolve(rng):
         [np.zeros((3, 1), np.float32), spikes], axis=1), g=(0.95,)))[:, 1:]
     out = np.asarray(deconvolve_signals(c_full))
     np.testing.assert_array_equal(out, spikes)
+
+
+def test_jax_matches_native_cpp(rng):
+    """Direct cross-check of the two production backends (both are also
+    tested against the numpy golden model independently)."""
+    from calciumgan_tpu import native
+    if not native.available():
+        pytest.skip("native library unavailable")
+    spikes = (rng.uniform(size=(8, 300)) < 0.06).astype(np.float32)
+    sig = np.zeros_like(spikes)
+    for t in range(1, 300):
+        sig[:, t] = 0.95 * sig[:, t - 1] + spikes[:, t]
+    sig += 0.1 * rng.normal(size=sig.shape).astype(np.float32)
+    ours = np.asarray(deconvolve_signals(sig))
+    theirs = native.deconvolve_batch(sig)
+    np.testing.assert_array_equal(ours, theirs)
