@@ -83,6 +83,9 @@ def run_experiment(config: Config, session: int, params: dict,
     metrics = train(config, return_metrics=True, devices=devices)
 
     writer = EventWriter(os.path.join(config.output_dir, "test"))
+    # per-trial values for the TensorBoard HParams dashboard
+    # (reference search.py:78 hp.hparams(...))
+    writer.hparams(params, group_name=f"{session:03d}")
     for key, item in metrics.items():
         writer.scalar(f"test/{key}", item, step=config.epochs + 1)
     writer.close()
@@ -118,6 +121,15 @@ def search(args):
 
     grid = dict(DEFAULT_GRID)
     results_path = os.path.join(args.output_dir, "results.jsonl")
+
+    # sweep schema for the TensorBoard HParams dashboard
+    # (reference search.py:98-112 hp.hparams_config(...))
+    schema_writer = EventWriter(args.output_dir)
+    schema_writer.hparams_config(grid, [
+        "test/signals_metrics/min", "test/signals_metrics/max",
+        "test/signals_metrics/mean", "test/signals_metrics/std"])
+    schema_writer.close()
+
     lock = threading.Lock()
     names = list(grid.keys())
     sessions = [(s, dict(zip(names, values))) for s, values in enumerate(

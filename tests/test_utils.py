@@ -231,3 +231,46 @@ def test_tb_reader_roundtrip(tmp_path):
     assert tb_reader.last_value(logdir, "loss") == (2, 1.0)
     with pytest.raises(KeyError):
         tb_reader.last_value(logdir, "nope")
+
+
+def test_hparams_plugin_protos_parse_with_tensorboard(tmp_path):
+    pd = pytest.importorskip("tensorboard.plugins.hparams.plugin_data_pb2")
+    from calciumgan_tpu.data.tfrecord import read_records, _walk
+    logdir = str(tmp_path / "hp")
+    w = EventWriter(logdir)
+    w.hparams_config({"noise_dim": [4, 8], "model": ["mlp"],
+                      "layer_norm": [True]}, ["test/m"])
+    w.hparams({"noise_dim": 8, "model": "mlp", "layer_norm": True},
+              group_name="001")
+    w.close()
+    found = {}
+    for rec in read_records(glob.glob(logdir + "/events.*")[0],
+                            check_crc=True):
+        for field, _, v in _walk(rec):
+            if field != 5:
+                continue
+            for f2, _, vb in _walk(v):
+                if f2 != 1:
+                    continue
+                tag, content = None, None
+                for f3, _, item in _walk(vb):
+                    if f3 == 1:
+                        tag = item.decode()
+                    elif f3 == 9:
+                        for f4, _, pdata in _walk(item):
+                            if f4 == 1:
+                                for f5, _, x in _walk(pdata):
+                                    if f5 == 2:
+                                        content = x
+                if tag and content is not None:
+                    found[tag] = content
+    exp = pd.HParamsPluginData.FromString(found["_hparams_/experiment"])
+    names = {h.name: h.type for h in exp.experiment.hparam_infos}
+    assert names == {"noise_dim": 3, "model": 1, "layer_norm": 2}
+    assert [m.name.tag for m in exp.experiment.metric_infos] == ["test/m"]
+    ssi = pd.HParamsPluginData.FromString(
+        found["_hparams_/session_start_info"]).session_start_info
+    assert ssi.group_name == "001"
+    assert ssi.hparams["noise_dim"].number_value == 8.0
+    assert ssi.hparams["model"].string_value == "mlp"
+    assert ssi.hparams["layer_norm"].bool_value is True
