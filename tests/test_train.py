@@ -7,6 +7,7 @@ import numpy as np
 import pytest
 
 from calciumgan_tpu import train as train_lib
+from calciumgan_tpu.config import Config
 from calciumgan_tpu.data import segments
 from calciumgan_tpu.utils import h5, io
 
@@ -184,3 +185,26 @@ def test_mean_logs_weighted():
     assert out["a"] == pytest.approx(1.5)
     out = train_lib._mean_logs(logs)
     assert out["a"] == pytest.approx(2.0)
+
+
+def test_conv2d_train_then_eval_cli(tmp_path, rng):
+    """The 2-D model path end-to-end INCLUDING post-hoc evaluation."""
+    from main import parse_args
+    import compute_metrics
+    input_dir = make_variant_dataset(tmp_path, rng, conv2d=True)
+    cfg = parse_args([
+        "--input_dir", input_dir, "--output_dir", str(tmp_path / "run2de"),
+        "--batch_size", "8", "--num_units", "2", "--kernel_size", "4",
+        "--noise_dim", "4", "--epochs", "1", "--n_critic", "1",
+        "--model", "calciumgan2d", "--algorithm", "wgan-gp", "--m", "1",
+        "--n", "1", "--mixed_precision", "--save_generated", "last",
+        "--skip_checkpoints", "--verbose", "0"])
+    train_lib.main(cfg)
+
+    eval_cfg = Config(output_dir=cfg.output_dir, num_neuron_plots=2,
+                      num_trial_plots=2, plots_per_row=2, dpi=50,
+                      format="png", verbose=0, seed=12)
+    results = compute_metrics.main(eval_cfg)
+    (epoch,) = results.keys()
+    assert {"firing_rate_kl", "correlation_kl",
+            "van_rossum_kl"} <= set(results[epoch])
