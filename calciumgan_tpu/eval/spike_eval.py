@@ -124,10 +124,11 @@ def chunked(fn, array: np.ndarray, chunk: int = 128) -> np.ndarray:
 def _load_spikes(config, filename: str, num_samples: int) -> np.ndarray:
     """Load spikes as NWC regardless of on-disk layout (the surrogate path
     stores them neuron-major — reference normalises by dim matching,
-    ``utils.py:155-184``)."""
-    spikes = np.asarray(h5.get(filename, "spikes"), np.float32)
-    spikes = arrays.set_array_format(spikes, "NWC", config)
-    return spikes[:num_samples]
+    ``utils.py:155-184``). Dim 0 is trial-major in both layouts, so the
+    range read happens before the transpose."""
+    spikes = np.asarray(
+        h5.get(filename, "spikes", start=0, stop=num_samples), np.float32)
+    return arrays.set_array_format(spikes, "NWC", config)
 
 
 def firing_rate_metrics(config, summary, real_spikes, fake_spikes,
