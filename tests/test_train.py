@@ -208,3 +208,26 @@ def test_conv2d_train_then_eval_cli(tmp_path, rng):
     (epoch,) = results.keys()
     assert {"firing_rate_kl", "correlation_kl",
             "van_rossum_kl"} <= set(results[epoch])
+
+
+def test_generate_cli(tmp_path, rng):
+    """Standalone generation from a checkpoint (serving path)."""
+    import generate as generate_mod
+    cfg = tiny_config(tmp_path, rng)
+    cfg.epochs = 1
+    cfg.save_generated = ""
+    train_lib.main(cfg)
+
+    gen_cfg = Config(output_dir=cfg.output_dir, verbose=0)
+    out = str(tmp_path / "samples.h5")
+    generate_mod.main(gen_cfg, num_samples=40, out=out, batch_size=16,
+                      with_spikes=True)
+    signals = h5.get(out, "signals")
+    spikes = h5.get(out, "spikes")
+    assert signals.shape == (40,) + tuple(cfg.signal_shape)
+    assert spikes.shape == signals.shape and spikes.dtype == np.int8
+    assert np.isfinite(signals).all()
+    # specific-epoch restore
+    generate_mod.main(Config(output_dir=cfg.output_dir, verbose=0),
+                      num_samples=8, out=str(tmp_path / "s2.h5"),
+                      batch_size=8, epoch=0)
