@@ -18,9 +18,14 @@ from calciumgan_tpu.utils import h5
 
 
 def save_fake_signals(config, epoch: int, signals) -> str:
+    import jax
     signals = reverse_preprocessing(config, np.asarray(signals))
+    # multi-host: each process appends its rows to its own shard file so
+    # concurrent writers never clobber each other on a shared filesystem
+    suffix = (f".{jax.process_index():03d}"
+              if jax.process_count() > 1 else "")
     filename = os.path.join(config.generated_dir,
-                            f"epoch{epoch:03d}_signals.h5")
+                            f"epoch{epoch:03d}_signals.h5{suffix}")
     h5.write(filename, {"signals": signals.astype(np.float32)})
 
     info_filename = os.path.join(config.generated_dir, "info.pkl")

@@ -184,3 +184,16 @@ def test_device_prefetcher(tmp_path, rng):
         assert sig.shape == (8, 32, 4)
         count += 1
     assert count == len(train) // 8
+
+
+def test_device_prefetcher_propagates_worker_errors():
+    def bad_iterator():
+        yield np.zeros((2, 4), np.float32)
+        raise RuntimeError("boom in worker")
+
+    import jax
+    pf = pipeline.DevicePrefetcher(
+        bad_iterator(), lambda a: jax.device_put(a))
+    next(pf)
+    with pytest.raises(RuntimeError, match="boom in worker"):
+        next(pf)
