@@ -106,11 +106,25 @@ def covariance(spikes1, spikes2=None, framerate: int = FRAMERATE,
 # van Rossum distance
 # ---------------------------------------------------------------------------
 
-@functools.lru_cache(maxsize=8)
-def _decay_kernel_cached(T: int, framerate: int, tau: float):
-    idx = np.arange(T, dtype=np.float64)
-    K = np.exp(-np.abs(idx[:, None] - idx[None, :]) / (framerate * tau))
-    return jnp.asarray(K, jnp.float32)
+def _apply_decay_kernel(y: jnp.ndarray, rho: float) -> jnp.ndarray:
+    """(K @ y^T)^T for K[a, b] = rho^|a-b| WITHOUT materialising the (T, T)
+    kernel: K = F + F^T - I where F is the causal decay, so
+    (K y)_t = fwd_t + bwd_t - y_t with fwd/bwd the first-order recurrences
+    fwd_t = y_t + rho*fwd_{t-1} — two log-depth ``associative_scan``s.
+    O(T) work per trace instead of the O(T^2) matmul row."""
+    rho = jnp.asarray(rho, y.dtype)
+
+    def combine(lhs, rhs):
+        a1, b1 = lhs
+        a2, b2 = rhs
+        return a1 * a2, b1 * a2 + b2
+
+    decay = jnp.broadcast_to(rho, y.shape)
+    axis = y.ndim - 1  # reverse=True requires a nonnegative axis
+    _, fwd = lax.associative_scan(combine, (decay, y), axis=axis)
+    _, bwd = lax.associative_scan(combine, (decay, y), axis=axis,
+                                  reverse=True)
+    return fwd + bwd - y
 
 
 def van_rossum_distance(spikes1, spikes2=None, tau: float = 1.0,
@@ -118,19 +132,23 @@ def van_rossum_distance(spikes1, spikes2=None, tau: float = 1.0,
     """Pairwise van Rossum distances.
 
     D(u, v)^2 = u^T K u + v^T K v - 2 u^T K v with
-    K[a, b] = exp(-|a - b| / (framerate * tau)) over the frame grid — the
-    closed form of the kernelised inner product, evaluated as two matmuls.
+    K[a, b] = exp(-|a - b| / (framerate * tau)) over the frame grid. The
+    kernel application exploits the exponential structure (scan instead of a
+    (T, T) matmul); the pairwise cross terms remain one MXU contraction.
     """
     if spikes2 is None:
         x = y = jnp.asarray(spikes1, jnp.float32)
     else:
         x = jnp.asarray(spikes2, jnp.float32)  # rows: fake (reference slice)
         y = jnp.asarray(spikes1, jnp.float32)
-    K = _decay_kernel_cached(x.shape[-1], framerate, tau)
-    xK = x @ K
-    yK = y @ K
+    rho = float(np.exp(-1.0 / (framerate * tau)))
+    xK = _apply_decay_kernel(x, rho)
     self_x = jnp.sum(xK * x, axis=-1)          # diag(x K x^T)
-    self_y = jnp.sum(yK * y, axis=-1)
+    if spikes2 is None:
+        yK, self_y = xK, self_x
+    else:
+        yK = _apply_decay_kernel(y, rho)
+        self_y = jnp.sum(yK * y, axis=-1)
     cross = xK @ y.T
     d2 = self_x[:, None] + self_y[None, :] - 2.0 * cross
     return jnp.sqrt(jnp.maximum(d2, 0.0))

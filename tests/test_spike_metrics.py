@@ -159,3 +159,15 @@ def test_histogram_kl_matches_pandas_recipe(rng):
 def test_kl_identical_is_zero(rng):
     x = rng.normal(size=200).astype(np.float32)
     assert float(sm.histogram_kl(x, x)) == pytest.approx(0.0, abs=1e-5)
+
+
+def test_decay_kernel_scan_matches_dense_matmul(rng):
+    """The scan-based K-apply must equal the explicit (T, T) decay matmul."""
+    import jax.numpy as jnp
+    T, rho = 200, float(np.exp(-1.0 / 24.0))
+    y = rng.normal(size=(5, T)).astype(np.float32)
+    idx = np.arange(T)
+    K = rho ** np.abs(idx[:, None] - idx[None, :])
+    expected = y @ K.astype(np.float32)
+    out = np.asarray(sm._apply_decay_kernel(jnp.asarray(y), rho))
+    np.testing.assert_allclose(out, expected, rtol=2e-4, atol=2e-4)
