@@ -231,3 +231,19 @@ def test_generate_cli(tmp_path, rng):
     generate_mod.main(Config(output_dir=cfg.output_dir, verbose=0),
                       num_samples=8, out=str(tmp_path / "s2.h5"),
                       batch_size=8, epoch=0)
+
+
+def test_plot_weights_path(tmp_path, rng):
+    from main import parse_args
+    input_dir = make_variant_dataset(tmp_path, rng)
+    cfg = parse_args([
+        "--input_dir", input_dir, "--output_dir", str(tmp_path / "runpw"),
+        "--batch_size", "8", "--num_units", "2", "--kernel_size", "4",
+        "--noise_dim", "4", "--epochs", "1", "--n_critic", "1",
+        "--model", "mlp", "--algorithm", "gan", "--plot_weights",
+        "--skip_checkpoints", "--verbose", "0"])
+    train_lib.main(cfg)
+    from calciumgan_tpu.utils.tb_reader import read_scalars
+    series = read_scalars(cfg.output_dir)
+    weight_tags = [t for t in series if t.startswith("plots_generator/")]
+    assert weight_tags, "per-parameter weight stats missing"
