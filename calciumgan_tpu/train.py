@@ -325,6 +325,16 @@ def main(config, return_metrics: bool = False,
               f"{count_params(state.generator.params):,}")
         print(f"discriminator parameters: "
               f"{count_params(state.discriminator.params):,}")
+    if config.verbose >= 2:
+        # layer tables (the reference registry printed Keras summaries —
+        # models/registry.py:16-33)
+        import jax.numpy as jnp
+        noise = jnp.zeros((1,) + tuple(config.noise_shape), jnp.float32)
+        signal = jnp.zeros((1,) + tuple(config.signal_shape), jnp.float32)
+        print(generator.tabulate(jax.random.PRNGKey(0), noise,
+                                 training=False, depth=1))
+        print(discriminator.tabulate(jax.random.PRNGKey(0), signal,
+                                     training=False, depth=1))
     summary.scalar("model/trainable_parameters/generator",
                    count_params(state.generator.params))
     summary.scalar("model/trainable_parameters/discriminator",
