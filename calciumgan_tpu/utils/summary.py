@@ -98,7 +98,11 @@ class Summary:
     def _emit_figure(self, tag, step, training):
         """Finalise plt's current figure: PNG -> event file + plots dir,
         optional vector copy for the metrics mode."""
-        plt.tight_layout()
+        import warnings as _warnings
+        with _warnings.catch_warnings():
+            # gridspec figures (raster plot) are not tight_layout-compatible
+            _warnings.simplefilter("ignore", UserWarning)
+            plt.tight_layout()
         fig = plt.gcf()
         buf = io.BytesIO()
         fig.savefig(buf, dpi=90, format="png", facecolor="white")
@@ -188,8 +192,9 @@ class Summary:
         ax.set_xlabel(xlabel)
         ax.set_ylabel(ylabel)
         ax.set_ylim([-2, 104])
-        ax.set_xticklabels(
-            (np.asarray(ax.get_xticks()) // self.framerate).astype(np.int64))
+        ticks = np.asarray(ax.get_xticks())
+        ax.set_xticks(ticks)  # fix the locator before relabelling
+        ax.set_xticklabels((ticks // self.framerate).astype(np.int64))
 
         def marg(axm, real, fake, vertical):
             if real.size + fake.size == 0:
