@@ -173,11 +173,16 @@ def load_surrogate_datasets(config) -> Tuple[ArrayDataset, ArrayDataset]:
     spikes = np.asarray(data["spikes"], np.float32)
 
     train_size = 8192
-    train = ArrayDataset(signals[:train_size], spikes[:train_size])
-    validation = ArrayDataset(signals[train_size:], spikes[train_size:])
+    config.train_size = train_size
+    config.validation_size = len(signals) - train_size
 
-    config.train_size = len(train)
-    config.validation_size = len(validation)
+    # multi-host: each process keeps an interleaved subset of rows (config
+    # sizes above stay GLOBAL — the driver derives step counts from them)
+    pi, pc = jax.process_index(), jax.process_count()
+    train = ArrayDataset(signals[:train_size][pi::pc],
+                         spikes[:train_size][pi::pc])
+    validation = ArrayDataset(signals[train_size:][pi::pc],
+                              spikes[train_size:][pi::pc])
     config.signal_shape = train.signals.shape[1:]
     config.spike_shape = spikes.shape[1:]
     config.sequence_length = train.signals.shape[1]

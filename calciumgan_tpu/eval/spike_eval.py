@@ -159,13 +159,10 @@ def firing_rate_metrics(config, summary, real_spikes, fake_spikes,
     return kl
 
 
-def _pairwise_metric(config, summary, real_spikes, fake_spikes, epoch,
-                     device_fn, tag: str, title: str,
-                     xlabel: str) -> np.ndarray:
-    real = chunked(device_fn, real_spikes)  # (N, P)
-    fake = chunked(device_fn, fake_spikes)
-    pairs = [(arrays.remove_nan(real[i]), arrays.remove_nan(fake[i]))
-             for i in range(len(real))]
+def _plot_pairs_and_kl(config, summary, pairs, epoch, tag: str, title: str,
+                       xlabel: str) -> np.ndarray:
+    """Per-trial histogram grid + KL distribution (the shared tail of every
+    pairwise statistic)."""
     summary.plot_histograms_grid(
         f"{tag}", data=[pairs[i] for i in config.trials],
         xlabel=xlabel, ylabel="Count",
@@ -176,6 +173,17 @@ def _pairwise_metric(config, summary, real_spikes, fake_spikes, epoch,
     summary.plot_distribution(f"{tag}_kl", data=kl, xlabel="KL divergence",
                               ylabel="Count", title=title, step=epoch)
     return kl
+
+
+def _pairwise_metric(config, summary, real_spikes, fake_spikes, epoch,
+                     device_fn, tag: str, title: str,
+                     xlabel: str) -> np.ndarray:
+    real = chunked(device_fn, real_spikes)  # (N, P)
+    fake = chunked(device_fn, fake_spikes)
+    pairs = [(arrays.remove_nan(real[i]), arrays.remove_nan(fake[i]))
+             for i in range(len(real))]
+    return _plot_pairs_and_kl(config, summary, pairs, epoch, tag, title,
+                              xlabel)
 
 
 def correlation_metrics(config, summary, real_spikes, fake_spikes,
@@ -223,16 +231,9 @@ def victor_purpura_metrics(config, summary, real_spikes, fake_spikes,
         f = np.asarray(jax.device_get(
             sm.victor_purpura_distance(fake_spikes[i].T)))[iu]
         pairs.append((arrays.remove_nan(r), arrays.remove_nan(f)))
-    summary.plot_histograms_grid(
-        "victor_purpura", data=[pairs[i] for i in config.trials],
-        xlabel="Victor-Purpura distance", ylabel="Count",
-        titles=[f"Sample #{i:03d}" for i in config.trials],
-        step=epoch, legend_labels=["recorded", "synthetic"],
-        plots_per_row=config.plots_per_row)
-    kl = sm.pairs_kl_divergence(pairs)
-    summary.plot_distribution("victor_purpura_kl", data=kl,
-                              xlabel="KL divergence", ylabel="Count",
-                              title="Victor-Purpura distance", step=epoch)
+    kl = _plot_pairs_and_kl(config, summary, pairs, epoch, "victor_purpura",
+                            "Victor-Purpura distance",
+                            "Victor-Purpura distance")
     if config.verbose:
         print(f"\t\tmean: {np.nanmean(kl):.04f}")
     return kl

@@ -150,11 +150,13 @@ def put_batch(mesh: Mesh, a: np.ndarray):
 
 def local_rows(array) -> np.ndarray:
     """This process's rows of a batch-sharded global array (row order
-    preserved). Single host: the whole array."""
+    preserved, model-axis replicas dropped). Single host: the whole array."""
     if jax.process_count() == 1:
         return np.asarray(jax.device_get(array))
-    shards = sorted(array.addressable_shards,
-                    key=lambda s: s.index[0].start or 0)
+    # keep one copy per distinct row range: devices along the model axis
+    # hold identical data (replica_id > 0)
+    shards = [s for s in array.addressable_shards if s.replica_id == 0]
+    shards.sort(key=lambda s: s.index[0].start or 0)
     return np.concatenate([np.asarray(jax.device_get(s.data))
                            for s in shards], axis=0)
 

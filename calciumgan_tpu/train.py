@@ -48,8 +48,12 @@ from calciumgan_tpu.models.base import count_params
 
 
 def _mean_logs(all_logs, weights=None) -> Dict[str, float]:
-    """Average per-batch log dicts, optionally weighted (validation weights
-    by real rows so pad_to_multiple filler doesn't bias the means)."""
+    """Average per-batch log dicts, optionally weighted by real rows so a
+    padded final batch doesn't get full weight. Known approximation: the
+    filler rows still participate in that batch's ON-DEVICE mean (they
+    repeat the last real row), so the last row is slightly over-weighted
+    within the final batch — bounded by (pad/total) and zero for datasets
+    divisible by the batch size."""
     out: Dict[str, float] = {}
     if not all_logs:
         return out
@@ -59,6 +63,17 @@ def _mean_logs(all_logs, weights=None) -> Dict[str, float]:
         vals = np.asarray([np.asarray(l[key]) for l in host], np.float64)
         out[key] = float(np.average(vals, weights=w))
     return out
+
+
+def _epoch_steps(global_size: int, local_bs: int,
+                 drop_remainder: bool) -> int:
+    """Per-process steps per epoch, identical on every process: derived from
+    the guaranteed-minimum local dataset size (record-level interleave gives
+    each process floor(global/P) or one more)."""
+    min_local = global_size // jax.process_count()
+    if drop_remainder:
+        return min_local // local_bs
+    return -(-min_local // local_bs)
 
 
 def focus_neurons(config):
@@ -77,19 +92,23 @@ def focus_neurons(config):
 def train_epoch(config, dataset, train_fn, state, summary: Summary,
                 epoch: int, run_key, mesh) -> Tuple:
     """One pass over the training set (parity: ``main.py:33-75``)."""
+    import itertools
+
     rng = np.random.default_rng(config.seed + epoch)
-    # multi-host: each process feeds its rows of the global batch
+    # multi-host: each process feeds its rows of the global batch; the step
+    # count derives from the GLOBAL train size so every process dispatches
+    # the same number of collectives even when record shards split unevenly
     local_bs = mesh_lib.local_batch_size(config.batch_size)
+    steps = _epoch_steps(config.train_size, local_bs, drop_remainder=True)
     batches = dataset.batches(local_bs, shuffle=True, rng=rng,
                               drop_remainder=True)
-    signals_only = (s for s, _ in batches)
+    signals_only = itertools.islice((s for s, _ in batches), steps)
     prefetch = pipeline.DevicePrefetcher(
         signals_only, lambda a: mesh_lib.put_batch(mesh, a))
 
     all_logs = []
     start = time()
     profiling = False
-    steps = dataset.steps(local_bs, drop_remainder=True)
     for batch_count, signal in enumerate(
             _progress(prefetch, "Train", steps, config.verbose)):
         if config.profile and epoch == 1 and batch_count == 2:
@@ -122,11 +141,14 @@ def validate_epoch(config, dataset, eval_fn, state, summary: Summary,
          (epoch % 10 == 0 or epoch == config.epochs - 1)) or
         (config.save_generated == "last" and epoch == config.epochs - 1))
 
+    import itertools
+
     all_logs, weights = [], []
     start = time()
     local_bs = mesh_lib.local_batch_size(config.batch_size)
-    steps = dataset.steps(local_bs)
-    it = dataset.batches(local_bs)
+    steps = _epoch_steps(config.validation_size, local_bs,
+                         drop_remainder=False)
+    it = itertools.islice(dataset.batches(local_bs), steps)
     for i, (signal, _) in enumerate(
             _progress(it, "Validate", steps, config.verbose)):
         signal, real_count = mesh_lib.pad_to_multiple(signal, local_bs)
@@ -222,10 +244,15 @@ def train_and_validate(config, train_ds, validation_ds, algo, fns, state,
 def test(config, validation_ds, eval_fn, state, mesh) -> Dict[str, float]:
     """Final metric aggregation for hparam search (parity:
     ``main.py:168-181``)."""
+    import itertools
+
     key = jax.random.PRNGKey(config.seed + 777)
     local_bs = mesh_lib.local_batch_size(config.batch_size)
+    steps = _epoch_steps(config.validation_size, local_bs,
+                         drop_remainder=False)
     all_logs, weights = [], []
-    for i, (signal, _) in enumerate(validation_ds.batches(local_bs)):
+    for i, (signal, _) in enumerate(
+            itertools.islice(validation_ds.batches(local_bs), steps)):
         signal, real_count = mesh_lib.pad_to_multiple(signal, local_bs)
         signal = mesh_lib.shard_batch(mesh, signal)
         _, logs = eval_fn(state, signal, jax.random.fold_in(key, i))

@@ -28,16 +28,22 @@ def save_fake_signals(config, epoch: int, signals) -> str:
                             f"epoch{epoch:03d}_signals.h5{suffix}")
     h5.write(filename, {"signals": signals.astype(np.float32)})
 
-    info_filename = os.path.join(config.generated_dir, "info.pkl")
-    info = {}
-    if os.path.exists(info_filename):
-        with open(info_filename, "rb") as f:
-            info = pickle.load(f)
-    if epoch not in info:
-        info[epoch] = {"global_step": config.global_step,
-                       "filename": filename}
-        with open(info_filename, "wb") as f:
-            pickle.dump(info, f)
+    # info.pkl is maintained by process 0 only (a shared-filesystem
+    # read-modify-write from every host would race); it references process
+    # 0's shard, which the eval CLIs consume
+    if jax.process_index() == 0:
+        info_filename = os.path.join(config.generated_dir, "info.pkl")
+        info = {}
+        if os.path.exists(info_filename):
+            with open(info_filename, "rb") as f:
+                info = pickle.load(f)
+        if epoch not in info:
+            info[epoch] = {"global_step": config.global_step,
+                           "filename": filename}
+            tmp = info_filename + ".tmp"
+            with open(tmp, "wb") as f:
+                pickle.dump(info, f)
+            os.replace(tmp, info_filename)
     return filename
 
 

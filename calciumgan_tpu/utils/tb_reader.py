@@ -28,7 +28,7 @@ def read_scalars(logdir_or_file: str) -> Dict[str, Dict[int, float]]:
     for path in files:
         try:
             for record in read_records(path):
-                step, tag, value = 0, None, None
+                step, pairs = 0, []
                 for field, wire, v in _walk(record):
                     if field == 2 and wire == 0:
                         step = v
@@ -36,12 +36,17 @@ def read_scalars(logdir_or_file: str) -> Dict[str, Dict[int, float]]:
                         for f2, _, val_buf in _walk(v):
                             if f2 != 1:
                                 continue
+                            # tag/value are PER Summary.Value submessage —
+                            # multi-value events must not cross-associate
+                            tag, value = None, None
                             for f3, w3, item in _walk(val_buf):
                                 if f3 == 1:
                                     tag = item.decode()
                                 elif f3 == 2 and w3 == 5:
                                     (value,) = struct.unpack("<f", item)
-                if tag is not None and value is not None:
+                            if tag is not None and value is not None:
+                                pairs.append((tag, value))
+                for tag, value in pairs:
                     series[tag][step] = value
         except (OSError, ValueError, IndexError):
             continue  # truncated file from a preempted run

@@ -51,14 +51,21 @@ def main(config, num_samples: int, out: str, batch_size: int = 1024,
     n_dev = mesh.shape[mesh_lib.DATA_AXIS]
     batch_size = -(-batch_size // n_dev) * n_dev
     key = jax.random.PRNGKey(seed)
+    # multi-host: each process feeds and persists its own rows
+    proc, nproc = jax.process_index(), jax.process_count()
+    local_bs = batch_size // nproc
+    if nproc > 1:
+        out = f"{out}.{proc:03d}"
+        num_samples = -(-num_samples // nproc)
     if os.path.exists(out):
         os.remove(out)
 
     written = 0
     while written < num_samples:
-        n = min(batch_size, num_samples - written)
+        n = min(local_bs, num_samples - written)
         k = jax.random.fold_in(key, written)
         noise = np.asarray(jax.device_get(algo.get_noise(k, batch_size)))
+        noise = noise[proc * local_bs:(proc + 1) * local_bs]
         fake = generate_fn(state, mesh_lib.put_batch(mesh, noise), k)
         signals = reverse_preprocessing(
             config, mesh_lib.local_rows(fake))[:n].astype(np.float32)
