@@ -348,16 +348,19 @@ def raster_plots(config, summary, filename: str, epoch: int,
 def compute_epoch_spike_metrics(config, summary, filename: str, epoch: int,
                                 rng: np.random.Generator,
                                 with_covariance: bool = False,
-                                with_victor_purpura: bool = False
-                                ) -> Dict[str, float]:
+                                with_victor_purpura: bool = False,
+                                real_spikes=None) -> Dict[str, float]:
     """Everything the reference runs per epoch file
-    (``compute_metrics.py:488-502``). Returns mean KL per statistic."""
+    (``compute_metrics.py:488-502``). Returns mean KL per statistic.
+    ``real_spikes`` may be passed in to amortise loading the validation
+    cache across epochs (``--all_epochs``)."""
     ensure_spikes(config, filename)
     plot_signals(config, summary, filename, epoch, rng)
     raster_plots(config, summary, filename, epoch)
 
-    real_spikes = _load_spikes(config, config.validation_cache,
-                               config.num_samples)
+    if real_spikes is None:
+        real_spikes = _load_spikes(config, config.validation_cache,
+                                   config.num_samples)
     fake_spikes = _load_spikes(config, filename, config.num_samples)
 
     results = {}

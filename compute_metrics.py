@@ -46,6 +46,9 @@ def main(config, with_covariance: bool = False,
     if not config.all_epochs:
         epochs = [epochs[-1]]  # only the last generated file by default
 
+    # real spikes are epoch-invariant: load the validation cache once
+    real_spikes = spike_eval._load_spikes(config, config.validation_cache,
+                                          config.num_samples)
     all_results = {}
     for epoch in epochs:
         start = time()
@@ -54,7 +57,8 @@ def main(config, with_covariance: bool = False,
         all_results[epoch] = spike_eval.compute_epoch_spike_metrics(
             config, summary, filename=info[epoch]["filename"], epoch=epoch,
             rng=rng, with_covariance=with_covariance,
-            with_victor_purpura=with_victor_purpura)
+            with_victor_purpura=with_victor_purpura,
+            real_spikes=real_spikes)
         elapse = time() - start
         summary.scalar("elapse/spike_metrics", elapse, step=epoch)
         if config.verbose:
