@@ -173,6 +173,26 @@ def search(args):
     print(f"\nExperiment completed, TensorBoard log at {args.output_dir}")
 
 
+def summarize(output_dir: str, sort_by: str = "signals_metrics/mean",
+              top: int = 20):
+    """Print the sweep ranked by a test metric (ascending)."""
+    path = os.path.join(output_dir, "results.jsonl")
+    if not os.path.exists(path):
+        print(f"{path} not found")
+        return []
+    with open(path) as f:
+        rows = [json.loads(line) for line in f]
+    rows.sort(key=lambda r: r["metrics"].get(sort_by, float("inf")))
+    print(f"{'session':>7}  {sort_by:>24}  params")
+    for r in rows[:top]:
+        changing = {k: v for k, v in r["params"].items()
+                    if k in ("noise_dim", "num_units", "kernel_size",
+                             "phase_shuffle", "strides")}
+        print(f"{r['session']:>7}  {r['metrics'].get(sort_by, float('nan')):>24.6f}  "
+              f"{changing}")
+    return rows
+
+
 if __name__ == "__main__":
     parser = argparse.ArgumentParser()
     parser.add_argument("--input_dir", default="dataset/")
@@ -185,10 +205,16 @@ if __name__ == "__main__":
                         help="run N experiments concurrently, each on its "
                              "own 1/N slice of the visible devices")
     parser.add_argument("--verbose", default=0, type=int)
+    parser.add_argument("--summarize", action="store_true",
+                        help="print the sweep ranked by --sort_by and exit")
+    parser.add_argument("--sort_by", default="signals_metrics/mean", type=str)
     args = parser.parse_args()
 
     if args.verbose == 0:
         warnings.simplefilter(action="ignore", category=UserWarning)
         warnings.simplefilter(action="ignore", category=RuntimeWarning)
 
-    search(args)
+    if args.summarize:
+        summarize(args.output_dir, sort_by=args.sort_by)
+    else:
+        search(args)

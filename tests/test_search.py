@@ -92,3 +92,17 @@ def test_search_parallel_over_device_slices(tmp_path, dataset_dir,
         lines = [json.loads(l) for l in f]
     assert sorted(l["session"] for l in lines) == [1, 2]
     assert all(np.isfinite(list(l["metrics"].values())).all() for l in lines)
+
+
+def test_summarize_ranks_by_metric(tmp_path, capsys):
+    out = str(tmp_path / "sweepz")
+    os.makedirs(out)
+    with open(os.path.join(out, "results.jsonl"), "w") as f:
+        f.write(json.dumps({"session": 1, "params": {"noise_dim": 4},
+                            "metrics": {"signals_metrics/mean": 0.9}}) + "\n")
+        f.write(json.dumps({"session": 2, "params": {"noise_dim": 8},
+                            "metrics": {"signals_metrics/mean": 0.1}}) + "\n")
+    rows = search_mod.summarize(out)
+    assert [r["session"] for r in rows] == [2, 1]
+    text = capsys.readouterr().out
+    assert text.index("      2") < text.index("      1")
