@@ -97,6 +97,20 @@ def make_step_fns(algo, mesh: Mesh, state: Any):
     replicated so phase-shuffle shifts are replica-identical, matching the
     reference's one-shift-per-batch semantics (SURVEY.md §7).
     """
+    if mesh.shape[MODEL_AXIS] > 1:
+        # Shardy (the default partitioner in jax 0.9) miscompiles the
+        # WGAN-GP step under model parallelism: with a model-sharded
+        # discriminator carried through the lax.scan critic loop, the
+        # combination of second-order autodiff (gradient penalty) and the
+        # optimizer update inside the scan body makes every batch reduction
+        # in the discriminator's forward come out exactly data_axis_size
+        # times too large (an extra all-reduce over 'data' on an
+        # already-replicated sum). Classic GSPMD partitions the identical
+        # program correctly, so fall back to it whenever the model axis is
+        # real. Regression: tests/test_algorithms.py
+        # test_model_parallel_mesh_runs.
+        jax.config.update("jax_use_shardy_partitioner", False)
+
     ss = state_shardings(mesh, state)
     rep = replicated(mesh)
     ndim = len(algo.signal_shape) + 1

@@ -155,11 +155,52 @@ def test_data_mesh_matches_single_device():
 
 
 def test_model_parallel_mesh_runs():
-    cfg = tiny_config(model_parallelism=2)
+    """Model parallelism must actually shard the discriminator head (the
+    O(seq) Dense(1) kernel — VERDICT.md weak #5: the divisibility guard in
+    ``mesh.py`` can silently fall back to replication) and produce the same
+    losses as the unsharded step."""
+    from jax.sharding import PartitionSpec as P
+
+    cfg = tiny_config(model_parallelism=2, n_critic=1)
     algo, state = build(cfg)
+    real = fake_batch(cfg, n=8)
+    key = jax.random.PRNGKey(0)
+
+    _, logs_single = jax.jit(algo.train_step)(state, jnp.asarray(real), key)
+    _, elogs_single = jax.jit(algo.eval_step)(state, jnp.asarray(real), key)
+
     mesh = create_mesh(data_parallelism=4, model_parallelism=2)
-    train, _, _ = make_step_fns(algo, mesh, state)
+    train, evaluate, _ = make_step_fns(algo, mesh, state)
     state = jax.device_put(state, state_shardings(mesh, state))
-    real = jax.device_put(fake_batch(cfg, n=8), batch_sharding(mesh, 3))
-    _, logs = train(state, real, jax.device_put(jax.random.PRNGKey(0)))
-    assert np.isfinite(float(logs["loss/generator"]))
+
+    # the head kernel is sharded over its input features: P('model', None)
+    head = state.discriminator.params["Dense_0"]["kernel"]
+    assert head.shape == (40, 1)
+    assert head.sharding.spec == P("model", None), head.sharding
+    assert head.addressable_shards[0].data.shape == (20, 1)
+    # and it is the only sharded discriminator param on this config
+    n_sharded = sum(
+        leaf.sharding.spec != P()
+        for leaf in jax.tree.leaves(state.discriminator.params))
+    assert n_sharded == 1
+
+    sharded_real = jax.device_put(real, batch_sharding(mesh, 3))
+    _, logs = train(state, sharded_real, jax.device_put(key))
+    # compare only pre-update quantities: the critic loss and penalty are
+    # computed from the initial params, so sharding changes them only by
+    # matmul-split rounding. Post-update losses (the generator's) diverge
+    # macroscopically because Adam's first step is ~sign(grad) and the split
+    # dot flips last bits of near-zero gradients — compare those through the
+    # update-free eval step instead.
+    np.testing.assert_allclose(float(logs_single["loss/discriminator"]),
+                               float(logs["loss/discriminator"]), rtol=1e-4)
+    np.testing.assert_allclose(float(logs_single["loss/gradient_penalty"]),
+                               float(logs["loss/gradient_penalty"]),
+                               rtol=1e-4)
+    fresh = algo.init_state(jax.random.PRNGKey(0))  # train donated `state`
+    fresh = jax.device_put(fresh, state_shardings(mesh, fresh))
+    _, elogs = evaluate(fresh, sharded_real, jax.device_put(key))
+    np.testing.assert_allclose(float(elogs_single["loss/generator"]),
+                               float(elogs["loss/generator"]), rtol=1e-4)
+    np.testing.assert_allclose(float(elogs_single["loss/discriminator"]),
+                               float(elogs["loss/discriminator"]), rtol=1e-4)
