@@ -26,16 +26,21 @@ from calciumgan_tpu.utils import arrays, h5
 # ---------------------------------------------------------------------------
 
 def deconvolve_traces(traces: np.ndarray) -> np.ndarray:
-    """Binary spikes for (..., T) traces. Prefers the OpenMP C++ kernel
-    (~75 us/trace/core at sl2048 — 30x the XLA while_loop path, whose
-    per-event scatters are HBM-bound); falls back to the on-device JAX
-    kernel when no native toolchain exists."""
+    """Binary spikes for (..., T) traces.
+
+    Backend order: Pallas TPU kernel when a TPU is attached (~200k
+    traces/s/chip at sl2048 — see :mod:`calciumgan_tpu.ops.oasis_pallas`),
+    else the OpenMP C++ host kernel (~13.6k traces/s/core), else the XLA
+    while_loop path (exact but HBM-bound)."""
     from calciumgan_tpu import native
     shape = traces.shape
     flat = np.ascontiguousarray(traces.reshape(-1, shape[-1]), np.float32)
-    out = native.deconvolve_batch(flat)
-    if out is None:
+    if jax.default_backend() == "tpu":
         out = np.asarray(jax.device_get(deconvolve_signals(flat)))
+    else:
+        out = native.deconvolve_batch(flat)
+        if out is None:
+            out = np.asarray(jax.device_get(deconvolve_signals(flat)))
     return out.reshape(shape)
 
 

@@ -7,7 +7,9 @@ host Python, fanned out over a ``multiprocessing.Pool``
 :mod:`calciumgan_tpu.ops.oasis_ref` for the spec and provenance) is expressed
 as a fixed-trip-count state machine under ``lax.while_loop`` and vmapped over
 traces, so deconvolution of a whole (trials x neurons) batch is ONE XLA
-computation on the TPU:
+computation on the TPU. (:func:`deconvolve_signals` defaults to the much
+faster Pallas kernel in :mod:`calciumgan_tpu.ops.oasis_pallas` on TPU; the
+while_loop machine stays as the exact fallback and CPU path.)
 
 - time is the sequential dimension (a merge/push event machine, at most
   ``2T-1`` iterations), the trace batch is the vector dimension — each step is
@@ -117,16 +119,40 @@ def oasis_ar1_jax(signals: jnp.ndarray, g: float = 0.95, lam: float = 0.0,
     return c.reshape(signals.shape), s.reshape(batch_shape + (s.shape[-1],))
 
 
-@functools.partial(jax.jit, static_argnames=("g", "s_min", "threshold"))
+@functools.partial(
+    jax.jit, static_argnames=("g", "s_min", "threshold", "backend", "depth"))
 def deconvolve_signals(signals: jnp.ndarray, g: float = 0.95,
-                       s_min: float = 0.55, threshold: float = 0.5):
+                       s_min: float = 0.55, threshold: float = 0.5,
+                       backend: str = "auto", depth: int | None = None):
     """Binary spike trains for a (..., T) batch, on device.
 
     Parity with the reference's ``spike_helper.deconvolve_signals`` /
     ``oasis_function`` (g=0.95, s_min=0.55, binarise at 0.5 —
     ``spike_helper.py:23-29``), minus the host pool.
+
+    ``backend``: ``'pallas'`` (the VMEM event machine in
+    :mod:`calciumgan_tpu.ops.oasis_pallas`; ~200k traces/s/chip at sl2048 vs
+    444 for the while_loop path and 13.6k for the C++ host kernel),
+    ``'while'`` (the exact ``lax.while_loop`` machine above), or ``'auto'``
+    (pallas on TPU, while elsewhere). Traces the Pallas kernel flags as
+    unreliable (stack overflow / unresolved merges — rare by construction)
+    are transparently recomputed with the exact path under a ``lax.cond``.
     """
-    _, s = oasis_ar1_jax(signals, g=g, lam=0.0, s_min=s_min)
+    if backend == "auto":
+        backend = "pallas" if jax.default_backend() == "tpu" else "while"
+    if backend == "while":
+        _, s = oasis_ar1_jax(signals, g=g, lam=0.0, s_min=s_min)
+    else:
+        from calciumgan_tpu.ops.oasis_pallas import oasis_ar1_pallas
+        interpret = jax.default_backend() != "tpu"
+        _, s, redo = oasis_ar1_pallas(signals, g=g, lam=0.0, s_min=s_min,
+                                      depth=depth, interpret=interpret)
+
+        def fix(s):
+            _, s_w = oasis_ar1_jax(signals, g=g, lam=0.0, s_min=s_min)
+            return jnp.where(redo[..., None], s_w, s)
+
+        s = lax.cond(jnp.any(redo), fix, lambda x: x, s)
     return (s > threshold).astype(jnp.float32)
 
 

@@ -1,0 +1,223 @@
+"""Pallas TPU kernel for OASIS AR(1) spike deconvolution.
+
+Replaces the external Cython ``oasisAR1`` the reference fans out over a host
+``multiprocessing.Pool`` (``/root/reference/gan/utils/spike_helper.py:23-54``,
+``compute_metrics.py:45-49``) with a VMEM-resident pool-adjacency machine:
+
+- **Layout**: traces ride the 128-lane axis; each grid step owns a
+  ``(T, 128)`` block of fluorescence and a ``(depth, 128)`` pool stack, all in
+  VMEM. The ``lax.while_loop`` formulation in :mod:`calciumgan_tpu.ops.oasis`
+  keeps the same state in HBM and pays a full round-trip per merge event
+  (~444 traces/s at sl2048); here every event is a VPU op on on-chip tiles.
+- **Stack discipline**: the top pool always lives at row 0. A *push* (one per
+  timestep, lockstep across lanes) is a uniform roll-down plus a row write; a
+  *merge* is a lane-masked roll-up whose row 0 receives the merged pool.
+- **No data-dependent control flow**: a first version resolved violations
+  with a nested ``while_loop``; its per-iteration scalar sync (``any`` across
+  lanes feeding the loop condition) cost ~16 us and capped throughput at
+  ~1.3k traces/s. Instead each timestep runs a *fixed* ``merge_attempts``
+  (default 4) lane-masked merges — a no-op on lanes without a violation —
+  and ORs any still-standing violation into a ``pending`` flag. Measured
+  merge demand per timestep: never >2 at the production ``s_min=0.55``
+  (0 of 131k steps, spiky + uniform-noise data), >4 in <3e-4 of steps even
+  at ``s_min=0``. Flagged lanes are recomputed by the exact
+  ``lax.while_loop`` path in the caller.
+- **Bounded depth**: the stack height is capped at ``depth`` (default
+  ``min(T, 128)``; measured worst cases at the production ``s_min=0.55``:
+  DG-like calcium ~54, dense spiking ~419, monotone ramps ~558). Lanes that
+  exceed it are flagged in the same redo output.
+
+Pool reconstruction (stack -> calcium trace -> spikes) is data-parallel and
+stays in plain XLA outside the kernel.
+
+Parity: same pool-adjacency algorithm as the numpy golden model
+(:mod:`calciumgan_tpu.ops.oasis_ref`, from Friedrich et al. 2017 Algorithm 1)
+with the reference recipe g=0.95, s_min=0.55, binarise at 0.5
+(``spike_helper.py:28-29``).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["oasis_ar1_pallas", "default_depth"]
+
+_LANES = 128
+
+
+def default_depth(T: int) -> int:
+    """Covers every measured spiky-calcium workload; deeper stacks are rare
+    and handled by the redo flag."""
+    return min(T, 128)
+
+
+def _oasis_kernel(T: int, D: int, g: float, s_min: float, K: int):
+    log_g = math.log(g)
+
+    def kernel(yy_ref, vs_ref, ws_ref, ls_ref, n_ref, redo_ref):
+        # stacks start empty; w=1 keeps v/w finite on never-written rows
+        vs_ref[:] = jnp.zeros((D, _LANES), jnp.float32)
+        ws_ref[:] = jnp.ones((D, _LANES), jnp.float32)
+        ls_ref[:] = jnp.ones((D, _LANES), jnp.float32)
+
+        def violation(n):
+            # top pool (row 0) vs its left neighbour (row 1); int32 mask —
+            # Mosaic mishandles (1, 128) i1 vectors in loop carries
+            v0, w0 = vs_ref[0:1, :], ws_ref[0:1, :]
+            v1, w1 = vs_ref[1:2, :], ws_ref[1:2, :]
+            l1 = ls_ref[1:2, :]
+            gl = jnp.exp(l1 * log_g)
+            viol = (n >= 2) & (v0 / w0 < gl * (v1 / w1) + s_min)
+            return viol.astype(jnp.int32)
+
+        def masked_merge(n):
+            violi = violation(n)
+            viol = violi > 0
+            v0, w0, l0 = vs_ref[0:1, :], ws_ref[0:1, :], ls_ref[0:1, :]
+            v1, w1, l1 = vs_ref[1:2, :], ws_ref[1:2, :], ls_ref[1:2, :]
+            gl = jnp.exp(l1 * log_g)
+            mv = v1 + gl * v0
+            mw = w1 + gl * gl * w0
+            ml = l1 + l0
+            # lane-masked pop: violating lanes shift up, row 0 <- merged pool
+            vs_ref[:] = jnp.where(viol, jnp.roll(vs_ref[:], -1, axis=0),
+                                  vs_ref[:])
+            ws_ref[:] = jnp.where(viol, jnp.roll(ws_ref[:], -1, axis=0),
+                                  ws_ref[:])
+            ls_ref[:] = jnp.where(viol, jnp.roll(ls_ref[:], -1, axis=0),
+                                  ls_ref[:])
+            vs_ref[0:1, :] = jnp.where(viol, mv, v0)
+            ws_ref[0:1, :] = jnp.where(viol, mw, w0)
+            ls_ref[0:1, :] = jnp.where(viol, ml, l0)
+            return n - violi
+
+        def push(t, carry):
+            n, redo = carry
+            # lockstep push: uniform roll-down, new singleton pool at row 0
+            vs_ref[:] = jnp.roll(vs_ref[:], 1, axis=0)
+            ws_ref[:] = jnp.roll(ws_ref[:], 1, axis=0)
+            ls_ref[:] = jnp.roll(ls_ref[:], 1, axis=0)
+            vs_ref[0:1, :] = yy_ref[pl.ds(t, 1), :]
+            ws_ref[0:1, :] = jnp.ones((1, _LANES), jnp.float32)
+            ls_ref[0:1, :] = jnp.ones((1, _LANES), jnp.float32)
+            n = n + 1
+            redo = jnp.maximum(redo, (n > D).astype(jnp.int32))
+            # fixed merge budget: pure vector work, no scalar syncs
+            for _ in range(K):
+                n = masked_merge(n)
+            # lanes still violating could not resolve in K attempts: flag
+            redo = jnp.maximum(redo, violation(n))
+            return n, redo
+
+        # seed loop carries from memory, not splat constants: Mosaic gives
+        # splats a fully-replicated layout that cannot unify with the body's
+        n_ref[:] = jnp.zeros((1, _LANES), jnp.int32)
+        redo_ref[:] = jnp.zeros((1, _LANES), jnp.int32)
+        n, redo = lax.fori_loop(0, T, push, (n_ref[:], redo_ref[:]))
+        n_ref[:] = n
+        redo_ref[:] = redo
+
+    return kernel
+
+
+def _stacks_to_cs(vs, ws, ls, n, T: int, g: float):
+    """Pool stacks (reversed, top at row 0) -> (c, s), data-parallel XLA.
+
+    Same reconstruction as ``oasis._oasis_single`` (cumsum + searchsorted +
+    gather), but over per-trace pool stacks instead of time-indexed pools.
+    """
+    # (D, B) -> (B, D), then un-reverse: forward pool j sits at row n-1-j
+    vsT, wsT, lsT = vs.T, ws.T, ls.T
+    B, D = vsT.shape
+    j = jnp.arange(D, dtype=jnp.int32)[None, :]
+    src = jnp.clip(n[:, None] - 1 - j, 0, D - 1)
+    v = jnp.take_along_axis(vsT, src, axis=1)
+    w = jnp.take_along_axis(wsT, src, axis=1)
+    l = jnp.take_along_axis(lsT, src, axis=1)
+
+    valid = j < n[:, None]
+    l = jnp.where(valid, l, 0.0)
+    starts = jnp.cumsum(l, axis=1) - l
+    starts = jnp.where(valid, starts, float(T))
+
+    idx = jnp.arange(T, dtype=jnp.float32)
+    pool_id = jax.vmap(
+        lambda st: jnp.searchsorted(st, idx, side="right") - 1)(starts)
+    h = jnp.maximum(v / w, 0.0)
+    hp = jnp.take_along_axis(h, pool_id, axis=1)
+    sp = jnp.take_along_axis(starts, pool_id, axis=1)
+    c = hp * jnp.exp((idx[None, :] - sp) * math.log(g))
+    s = jnp.concatenate([jnp.zeros((B, 1), c.dtype), c[:, 1:] - g * c[:, :-1]],
+                        axis=1)
+    return c, s
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("g", "lam", "s_min", "depth", "merge_attempts",
+                     "interpret"))
+def oasis_ar1_pallas(signals: jnp.ndarray, g: float = 0.95, lam: float = 0.0,
+                     s_min: float = 0.0, depth: int | None = None,
+                     merge_attempts: int = 4, interpret: bool = False):
+    """Batched OASIS AR(1) on TPU via Pallas.
+
+    Args:
+        signals: (..., T) fluorescence traces.
+        g, lam, s_min: AR(1) decay, sparsity penalty, minimum spike size
+            (reference recipe: g=0.95, lam=0, s_min=0.55).
+        depth: pool-stack cap; lanes exceeding it are flagged, not fixed.
+        merge_attempts: fixed per-timestep merge budget (see module doc).
+        interpret: run the kernel in interpreter mode (CPU tests).
+
+    Returns:
+        (c, s, redo): denoised trace and spikes shaped like ``signals``, plus
+        a bool flag per trace (batch shape) marking traces whose result is
+        unreliable (stack overflow or unresolved merges) and must be
+        recomputed with the exact path.
+    """
+    signals = jnp.asarray(signals, jnp.float32)
+    batch_shape = signals.shape[:-1]
+    T = signals.shape[-1]
+    D = default_depth(T) if depth is None else min(T, depth)
+    D = max(8, -(-D // 8) * 8)  # sublane-tile multiple
+
+    y = signals.reshape((-1, T))
+    B = y.shape[0]
+    yy = y - lam * (1.0 - g)
+    yy = yy.at[:, T - 1].set(y[:, T - 1] - lam)
+
+    Bp = -(-B // _LANES) * _LANES
+    yy = jnp.pad(yy, ((0, Bp - B), (0, 0)))
+    yyT = yy.T  # (T, Bp): traces on lanes
+
+    grid = (Bp // _LANES,)
+    blk = lambda r: pl.BlockSpec((r, _LANES), lambda i: (0, i),
+                                 memory_space=pltpu.VMEM)
+    vs, ws, ls, n, redo = pl.pallas_call(
+        _oasis_kernel(T, D, g, s_min, merge_attempts),
+        grid=grid,
+        in_specs=[blk(T)],
+        out_specs=(blk(D), blk(D), blk(D), blk(1), blk(1)),
+        out_shape=(
+            jax.ShapeDtypeStruct((D, Bp), jnp.float32),
+            jax.ShapeDtypeStruct((D, Bp), jnp.float32),
+            jax.ShapeDtypeStruct((D, Bp), jnp.float32),
+            jax.ShapeDtypeStruct((1, Bp), jnp.int32),
+            jax.ShapeDtypeStruct((1, Bp), jnp.int32),
+        ),
+        interpret=interpret,
+    )(yyT)
+
+    c, s = _stacks_to_cs(vs, ws, ls, n[0], T, g)
+    c, s = c[:B], s[:B]
+    redo = redo[0, :B].astype(jnp.bool_)
+    return (c.reshape(signals.shape), s.reshape(signals.shape),
+            redo.reshape(batch_shape))

@@ -38,12 +38,17 @@ def generate_spike_train(args, filename):
             return
 
     signals = np.asarray(data["signals"], np.float32)
-    from calciumgan_tpu import native
-    oasis = native.deconvolve_batch(signals, g=0.95, s_min=0.55,
-                                    threshold=0.5)
-    if oasis is None:  # no C++ toolchain: on-device JAX kernel
+    if jax.default_backend() == "tpu":  # Pallas kernel, ~200k traces/s/chip
         oasis = np.asarray(jax.device_get(
             deconvolve_signals(signals, g=0.95, s_min=0.55, threshold=0.5)))
+    else:
+        from calciumgan_tpu import native
+        oasis = native.deconvolve_batch(signals, g=0.95, s_min=0.55,
+                                        threshold=0.5)
+        if oasis is None:  # no C++ toolchain: on-device JAX kernel
+            oasis = np.asarray(jax.device_get(
+                deconvolve_signals(signals, g=0.95, s_min=0.55,
+                                   threshold=0.5)))
     data["oasis"] = oasis.astype(np.float32)
 
     with open(filename, "wb") as f:

@@ -1,0 +1,95 @@
+"""Pallas OASIS kernel: golden parity with the numpy model + redo fallback.
+
+The kernel (calciumgan_tpu/ops/oasis_pallas.py) replaces the reference's
+Cython oasisAR1 + multiprocessing.Pool (spike_helper.py:23-54). Tests run in
+interpreter mode on the CPU mesh; the compiled path is exercised and
+benchmarked on the real chip by bench.py.
+"""
+
+import numpy as np
+import pytest
+
+from calciumgan_tpu.ops import oasis_ref
+from calciumgan_tpu.ops.oasis import deconvolve_signals
+from calciumgan_tpu.ops.oasis_pallas import oasis_ar1_pallas
+
+
+def synth_traces(rng, n=8, T=256, g=0.95, rate=0.02, sn=0.3):
+    spikes = (rng.random((n, T)) < rate).astype(np.float64)
+    c = np.zeros_like(spikes)
+    for t in range(T):
+        c[:, t] = spikes[:, t] + (g * c[:, t - 1] if t > 0 else 0.0)
+    return c + sn * rng.standard_normal((n, T))
+
+
+@pytest.mark.parametrize("s_min,lam", [(0.55, 0.0), (0.0, 0.0), (0.0, 1.0)])
+def test_matches_numpy_golden(rng, s_min, lam):
+    y = synth_traces(rng, n=6, T=220)
+    c, s, redo = oasis_ar1_pallas(y, g=0.95, lam=lam, s_min=s_min,
+                                  interpret=True)
+    c, s, redo = map(np.asarray, (c, s, redo))
+    assert not redo.any()
+    for i in range(len(y)):
+        c_ref, s_ref = oasis_ref.oasis_ar1(y[i], g=0.95, lam=lam, s_min=s_min)
+        np.testing.assert_allclose(c[i], c_ref, atol=1e-4)
+        np.testing.assert_allclose(s[i], s_ref, atol=1e-4)
+
+
+def test_batch_shape_and_multi_block(rng):
+    # >128 traces exercises the lane-block grid; 3-D batch exercises reshape
+    y = synth_traces(rng, n=130, T=64).reshape(13, 10, 64)
+    c, s, redo = oasis_ar1_pallas(y, g=0.95, s_min=0.55, interpret=True)
+    assert c.shape == y.shape and s.shape == y.shape
+    assert redo.shape == (13, 10)
+    flat = y.reshape(-1, 64)
+    for i in (0, 64, 129):  # first block, boundary, second block
+        _, s_ref = oasis_ref.oasis_ar1(flat[i], g=0.95, s_min=0.55)
+        np.testing.assert_allclose(np.asarray(s).reshape(-1, 64)[i], s_ref,
+                                   atol=1e-4)
+
+
+def test_redo_flag_on_stack_overflow():
+    # a monotone ramp at s_min=0 keeps every pool: depth = T > tiny cap
+    ramp = np.linspace(0.0, 10.0, 64)[None].repeat(3, 0)
+    _, _, redo = oasis_ar1_pallas(ramp, s_min=0.0, depth=8, interpret=True)
+    assert np.asarray(redo).all()
+
+
+def test_redo_flag_on_merge_budget():
+    # a long decay after a big spike forces a cascade of merges at one
+    # timestep; merge_attempts=1 cannot resolve it
+    T = 96
+    spikes = np.zeros(T)
+    spikes[5] = 5.0
+    c = np.zeros(T)
+    for t in range(T):
+        c[t] = spikes[t] + (0.95 * c[t - 1] if t else 0.0)
+    y = c + 0.3 * np.sin(np.arange(T))  # wiggle creates pools to merge
+    _, _, redo1 = oasis_ar1_pallas(y[None], s_min=0.55, merge_attempts=1,
+                                   interpret=True)
+    _, s4, redo4 = oasis_ar1_pallas(y[None], s_min=0.55, merge_attempts=4,
+                                    interpret=True)
+    # with the full budget the result is exact and unflagged
+    assert not np.asarray(redo4).any()
+    _, s_ref = oasis_ref.oasis_ar1(y, g=0.95, s_min=0.55)
+    np.testing.assert_allclose(np.asarray(s4)[0], s_ref, atol=1e-4)
+    # the starved kernel must either match anyway or flag itself
+    _, s1, _ = oasis_ar1_pallas(y[None], s_min=0.55, merge_attempts=1,
+                                interpret=True)
+    if not np.allclose(np.asarray(s1)[0], s_ref, atol=1e-4):
+        assert np.asarray(redo1).any()
+
+
+def test_deconvolve_signals_pallas_backend_matches_while(rng):
+    y = synth_traces(rng, n=8, T=200)
+    a = np.asarray(deconvolve_signals(y, backend="pallas"))
+    b = np.asarray(deconvolve_signals(y, backend="while"))
+    np.testing.assert_array_equal(a, b)
+
+
+def test_deconvolve_signals_fallback_is_exact(rng):
+    # force the redo path with a tiny stack: output must still be exact
+    y = synth_traces(rng, n=4, T=200, rate=0.2)  # dense -> deeper stacks
+    a = np.asarray(deconvolve_signals(y, backend="pallas", depth=8))
+    b = np.asarray(deconvolve_signals(y, backend="while"))
+    np.testing.assert_array_equal(a, b)
