@@ -152,13 +152,22 @@ class Config:
         return d
 
     def save(self, path: Optional[str] = None) -> None:
-        """Persist to ``<output_dir>/hparams.json`` (superset contract)."""
+        """Persist to ``<output_dir>/hparams.json`` (superset contract).
+
+        Multi-host: process 0 is the single writer (all processes hold the
+        same config); the write is atomic so eval CLIs never read a torn
+        file."""
+        import jax
+        if jax.process_index() != 0:
+            return
         if self.git_hash is None:
             self.git_hash = _git_hash()
         path = path or os.path.join(self.output_dir, "hparams.json")
         os.makedirs(os.path.dirname(path), exist_ok=True)
-        with open(path, "w") as f:
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
             json.dump(self.to_dict(), f, indent=2, default=_json_default)
+        os.replace(tmp, path)
 
     def load(self, path: Optional[str] = None) -> "Config":
         """Fill *unset* (None) fields from a saved hparams.json.

@@ -110,22 +110,22 @@ def _read_shards(pattern: str, signal_shape, spike_shape,
             and os.path.getmtime(sig_npy) >= newest):
         return ArrayDataset(np.load(sig_npy, mmap_mode="r"),
                             np.load(spk_npy, mmap_mode="r"))
-    # multi-host: each process reads an interleaved subset of shards; when
-    # there are fewer shards than processes, fall back to record-level
-    # interleaving over all shards so every process holds data
-    files = all_files[process_index::process_count]
-    record_stride = 1
-    if not files:
-        files = all_files
-        record_stride = process_count
+    # multi-host: record-level interleaving over ALL shards — every process
+    # holds floor(global/P) or floor+1 records, which is what the uniform
+    # per-process step count in train._epoch_steps relies on. (A shard-level
+    # split would be cheaper to decode but can mis-balance by a whole shard
+    # — or starve a process entirely when shards < processes — and a starved
+    # process deadlocks the collectives. The decoded subset is cached per
+    # process, so the redundant decode is one-time.)
     signals, spikes = [], []
-    for path in files:
-        for i, (signal, spike) in enumerate(tfrecord.read_signal_records(
-                path, signal_shape, spike_shape)):
-            if record_stride == 1 or i % record_stride == \
-                    process_index % record_stride:
+    i = 0
+    for path in all_files:
+        for signal, spike in tfrecord.read_signal_records(
+                path, signal_shape, spike_shape):
+            if i % process_count == process_index:
                 signals.append(signal)
                 spikes.append(spike)
+            i += 1
     if not signals:
         raise ValueError(
             f"process {process_index}/{process_count} received no records "

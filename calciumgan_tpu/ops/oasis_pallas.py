@@ -131,8 +131,15 @@ def _oasis_kernel(T: int, D: int, g: float, s_min: float, K: int):
 def _stacks_to_cs(vs, ws, ls, n, T: int, g: float):
     """Pool stacks (reversed, top at row 0) -> (c, s), data-parallel XLA.
 
-    Same reconstruction as ``oasis._oasis_single`` (cumsum + searchsorted +
-    gather), but over per-trace pool stacks instead of time-indexed pools.
+    Gather-free reconstruction: a per-element ``searchsorted`` +
+    ``take_along_axis`` version measured ~230 ms for 1024 sl2048 traces on
+    v5e — 6x the event-machine kernel itself. Instead the pool heights are
+    splatted onto the time axis at their start positions via a fused one-hot
+    broadcast-reduce, and the within-pool geometric decay ``h * g^(t-start)``
+    becomes a *reset* affine recurrence ``c_t = a_t c_{t-1} + b_t`` with
+    ``a = 0, b = h`` at pool starts and ``a = g, b = 0`` elsewhere — one
+    log-depth ``associative_scan``, the same first-order-recurrence trick as
+    :func:`calciumgan_tpu.ops.oasis.ar1_filter`.
     """
     # (D, B) -> (B, D), then un-reverse: forward pool j sits at row n-1-j
     vsT, wsT, lsT = vs.T, ws.T, ls.T
@@ -146,15 +153,22 @@ def _stacks_to_cs(vs, ws, ls, n, T: int, g: float):
     valid = j < n[:, None]
     l = jnp.where(valid, l, 0.0)
     starts = jnp.cumsum(l, axis=1) - l
-    starts = jnp.where(valid, starts, float(T))
+    h = jnp.where(valid, jnp.maximum(v / w, 0.0), 0.0)
+    # invalid pools get an off-grid start so their one-hot row is all-zero
+    starts_i = jnp.where(valid, starts, float(T)).astype(jnp.int32)
 
-    idx = jnp.arange(T, dtype=jnp.float32)
-    pool_id = jax.vmap(
-        lambda st: jnp.searchsorted(st, idx, side="right") - 1)(starts)
-    h = jnp.maximum(v / w, 0.0)
-    hp = jnp.take_along_axis(h, pool_id, axis=1)
-    sp = jnp.take_along_axis(starts, pool_id, axis=1)
-    c = hp * jnp.exp((idx[None, :] - sp) * math.log(g))
+    t = jnp.arange(T, dtype=jnp.int32)
+    eq = starts_i[:, :, None] == t[None, None, :]      # (B, D, T), fused
+    ind = jnp.any(eq, axis=1)                          # pool-start indicator
+    b = jnp.sum(jnp.where(eq, h[:, :, None], 0.0), axis=1)
+    a = jnp.where(ind, 0.0, jnp.float32(g))
+
+    def combine(lhs, rhs):
+        a1, b1 = lhs
+        a2, b2 = rhs
+        return a1 * a2, b1 * a2 + b2
+
+    _, c = jax.lax.associative_scan(combine, (a, b), axis=1)
     s = jnp.concatenate([jnp.zeros((B, 1), c.dtype), c[:, 1:] - g * c[:, :-1]],
                         axis=1)
     return c, s

@@ -172,9 +172,14 @@ def sample_and_plot(config, algo, generate_fn, state, summary: Summary,
                     epoch: int, test_noise) -> None:
     """Generate from the fixed test noise, deconvolve on device, plot traces
     (parity: ``main.py:141-156``)."""
+    # every process joins the collective generate; the rows are all copies of
+    # the same test-noise sample, so each process's local rows suffice and
+    # only the chief does the host-side plotting work
     fake = generate_fn(state, test_noise, jax.random.PRNGKey(epoch))
-    fake = pipeline.reverse_preprocessing(
-        config, np.asarray(jax.device_get(fake)))
+    local = mesh_lib.local_rows(fake)
+    if jax.process_index() != 0:
+        return
+    fake = pipeline.reverse_preprocessing(config, local)
     signals = arrays.set_array_format(fake[0], "CW", config)  # (neuron, time)
     spikes = np.asarray(jax.device_get(deconvolve_signals(signals)))
     summary.plot_traces("fake_traces", signals, spikes,

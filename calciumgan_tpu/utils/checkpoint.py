@@ -32,10 +32,18 @@ def checkpoint_path(ckpt_dir: str, epoch: int) -> str:
 
 def save(ckpt_dir: str, epoch: int, state: Any, config=None,
          verbose: int = 1) -> str:
-    """Serialise the train-state pytree (gathered to host) for ``epoch``."""
+    """Serialise the train-state pytree (gathered to host) for ``epoch``.
+
+    Multi-host: process 0 is the single writer (every process owns a full
+    replica of the data-parallel state; concurrent writers would race on the
+    shared tmp file). Model-parallel state is device_get-able too: the
+    sharding rules in ``parallel/mesh.py`` keep the model axis within one
+    process's devices for every supported config."""
+    path = checkpoint_path(ckpt_dir, epoch)
+    if jax.process_index() != 0:
+        return path
     os.makedirs(ckpt_dir, exist_ok=True)
     host_state = jax.device_get(state)
-    path = checkpoint_path(ckpt_dir, epoch)
     tmp = path + ".tmp"
     with open(tmp, "wb") as f:
         f.write(serialization.to_bytes(host_state))

@@ -60,7 +60,15 @@ def load_generated_info(config) -> dict:
 def cache_validation_set(config, validation) -> None:
     """One-time dump of the denormalised validation set (signals float32,
     spikes int8) to ``generated/validation.h5`` so the metrics CLIs can read
-    real data cheaply (``dataset_helper.py:12-30``)."""
+    real data cheaply (``dataset_helper.py:12-30``).
+
+    Multi-host: process 0 is the single writer and caches its local record
+    shard (a uniform subset of the validation set — records are interleaved
+    across processes by the data layer); concurrent appends to one h5 from
+    many hosts would corrupt it."""
+    import jax
+    if jax.process_index() != 0:
+        return
     if config.validation_cache is None or \
             os.path.exists(config.validation_cache):
         return

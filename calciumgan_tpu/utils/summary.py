@@ -57,19 +57,27 @@ class Summary:
         self.fake_color = FAKE_COLOR
         self._plot_weights = getattr(config, "plot_weights", False)
 
+        # multi-host: TensorBoard chief-only writes — non-zero processes
+        # would race on event filenames (same host + second) and duplicate
+        # every figure; they keep a fully inert Summary
+        import jax
+        self._noop = jax.process_index() != 0
+
         if spike_metrics:
             self._metrics_dir = os.path.join(config.output_dir, "metrics")
-            self.metrics_writer = EventWriter(self._metrics_dir)
             self.format = getattr(config, "format", "pdf")
             self._vector_dir = os.path.join(self._metrics_dir, "plots")
-            if os.path.exists(self._vector_dir):
-                shutil.rmtree(self._vector_dir)
-            os.makedirs(self._vector_dir)
+            if not self._noop:
+                self.metrics_writer = EventWriter(self._metrics_dir)
+                if os.path.exists(self._vector_dir):
+                    shutil.rmtree(self._vector_dir)
+                os.makedirs(self._vector_dir)
         else:
-            self.train_writer = EventWriter(config.output_dir)
-            self.val_writer = EventWriter(
-                os.path.join(config.output_dir, "validation"))
             self.profiler_dir = os.path.join(config.output_dir, "profiler")
+            if not self._noop:
+                self.train_writer = EventWriter(config.output_dir)
+                self.val_writer = EventWriter(
+                    os.path.join(config.output_dir, "validation"))
 
         for k, v in (("xtick", 12), ("ytick", 12), ("legend", 12)):
             plt.rc(k, **{"labelsize" if k != "legend" else "fontsize": v})
@@ -82,12 +90,18 @@ class Summary:
         return self.train_writer if training else self.val_writer
 
     def scalar(self, tag, value, step=0, training=True):
+        if self._noop:
+            return
         self._writer(training).scalar(tag, float(np.asarray(value)), step)
 
     def histogram(self, tag, values, step=0, training=True):
+        if self._noop:
+            return
         self._writer(training).histogram(tag, np.asarray(values), step)
 
     def flush(self):
+        if self._noop:
+            return
         if self.spike_metrics:
             self.metrics_writer.flush()
         else:
@@ -98,6 +112,9 @@ class Summary:
     def _emit_figure(self, tag, step, training):
         """Finalise plt's current figure: PNG -> event file + plots dir,
         optional vector copy for the metrics mode."""
+        if self._noop:
+            plt.close(plt.gcf())
+            return
         import warnings as _warnings
         with _warnings.catch_warnings():
             # gridspec figures (raster plot) are not tight_layout-compatible
