@@ -159,7 +159,12 @@ def van_rossum_distance(spikes1, spikes2=None, tau: float = 1.0,
 # ---------------------------------------------------------------------------
 
 def _spike_times_padded(spikes: np.ndarray, framerate: int):
-    """Binary (N, T) -> (times (N, M) float32 padded with +inf, counts (N,))."""
+    """Binary (N, T) -> (times (N, M) float32 padded with +inf, counts (N,)).
+
+    M is the GLOBAL max spike count, so one dense train inflates the
+    O(M^2) DP for every pair. Acceptable behind ``--victor_purpura``
+    (spiking data is sparse and uniform); revisit with per-chunk padding if
+    VP is ever run over heterogeneous populations."""
     spikes = np.asarray(spikes)
     counts = spikes.astype(bool).sum(axis=-1)
     M = max(1, int(counts.max()) if counts.size else 1)

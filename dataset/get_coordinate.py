@@ -1,35 +1,49 @@
-"""Extract ROI coordinates from a .mat (HDF5) recording.
+"""Extract ROI pixel coordinates from a .mat (HDF5, v7.3) recording.
 
-Parity with ``/root/reference/dataset/dg/get_coordinate.py:8-27``: reads the
-``data`` ROI reference table and prints each ROI's ``mnCoordinates`` (the
-first 2 ROIs are skipped, matching the 2 dropped neurons elsewhere in the
-pipeline). Uses ``[()]`` reads (the ``.value`` accessor was removed in
-h5py 3).
+Capability parity with ``/root/reference/dataset/dg/get_coordinate.py:8-27``:
+the recording stores a ``data`` table of HDF5 object references, one per ROI,
+each pointing to a group with an ``mnCoordinates`` dataset. The first two
+ROIs are skipped — the same two neurons the preprocessing drops everywhere
+else (``generate_tfrecords.py:67-70``). Beyond the reference's print-only
+loop this version returns the list, can persist it, and uses ``[()]`` reads
+(h5py 3 removed the ``.value`` accessor).
 """
 
 import argparse
-import os
+import pickle
 
 import h5py
 
+SKIP_ROIS = 2  # dropped neurons, see generate_tfrecords
 
-def get_coordinate(filename: str):
-    if not os.path.exists(filename):
-        print(f"file {filename} does not exists")
-        exit()
 
-    coordinates = []
+def roi_coordinates(filename: str, skip: int = SKIP_ROIS) -> list:
+    """List of per-ROI ``mnCoordinates`` arrays from a v7.3 .mat file."""
     with h5py.File(filename, "r") as f:
-        rois = f["data"][()]
-        for roi in rois[2:]:
-            coordinates.append(f[roi[0]]["mnCoordinates"][()])
+        refs = [row[0] for row in f["data"][()][skip:]]
+        return [f[ref]["mnCoordinates"][()] for ref in refs]
 
-    print(coordinates)
-    return coordinates
+
+def main(args) -> list:
+    try:
+        coords = roi_coordinates(args.filename)
+    except FileNotFoundError:
+        raise SystemExit(f"file {args.filename} does not exists")
+    for i, c in enumerate(coords):
+        print(f"ROI {i + SKIP_ROIS:03d}: {c.shape[0]} points")
+    if args.out:
+        with open(args.out, "wb") as f:
+            pickle.dump(coords, f)
+        print(f"saved {len(coords)} ROI coordinate arrays to {args.out}")
+    else:
+        print(coords)
+    return coords
 
 
 if __name__ == "__main__":
-    parser = argparse.ArgumentParser()
+    parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--filename", default="raw_data/MC_20181117_P01.mat",
                         type=str)
-    get_coordinate(filename=parser.parse_args().filename)
+    parser.add_argument("--out", default="", type=str,
+                        help="optional pickle output for the coordinates")
+    main(parser.parse_args())
