@@ -157,10 +157,22 @@ def _stacks_to_cs(vs, ws, ls, n, T: int, g: float):
     # invalid pools get an off-grid start so their one-hot row is all-zero
     starts_i = jnp.where(valid, starts, float(T)).astype(jnp.int32)
 
+    # splat pool heights onto the time axis at their starts. A fused
+    # (B, D, T) broadcast-reduce computes the same thing but explodes XLA
+    # compile time (4 min at B=1024, unbounded at B=4096); a D-step scan of
+    # (B, T) accumulations compiles in seconds at identical runtime cost.
     t = jnp.arange(T, dtype=jnp.int32)
-    eq = starts_i[:, :, None] == t[None, None, :]      # (B, D, T), fused
-    ind = jnp.any(eq, axis=1)                          # pool-start indicator
-    b = jnp.sum(jnp.where(eq, h[:, :, None], 0.0), axis=1)
+
+    def splat(acc, xs):
+        start_d, h_d = xs                              # (B,), (B,)
+        onehot = start_d[:, None] == t[None, :]        # (B, T)
+        ind, b = acc
+        return (ind | onehot, b + jnp.where(onehot, h_d[:, None], 0.0)), None
+
+    B_ = starts_i.shape[0]
+    (ind, b), _ = jax.lax.scan(
+        splat, (jnp.zeros((B_, T), bool), jnp.zeros((B_, T), jnp.float32)),
+        (starts_i.T, h.T))
     a = jnp.where(ind, 0.0, jnp.float32(g))
 
     def combine(lhs, rhs):
