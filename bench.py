@@ -1,19 +1,27 @@
-"""Benchmark: WGAN-GP train-step throughput on the paper recipe.
+"""Benchmark: the two baseline-contract metrics plus an MFU estimate.
 
-Measures steps/sec of the full jitted WGAN-GP train step (n_critic=5
-discriminator updates incl. gradient penalty + 1 generator update per step)
-at the reference's headline configuration (``/root/reference/README.md:88-93``):
-sl2048, batch 128, num_units 64, kernel 24, strides 2, m=10, layer_norm,
-mixed precision (bf16 here) — on whatever devices are visible (one mesh over
-all of them; steps/sec/chip is also reported inside the JSON's metadata).
+``BASELINE.json.metric`` names two numbers; both are measured here on the
+attached TPU chip:
 
-The reference publishes no throughput numbers (BASELINE.md), so
-``vs_baseline`` is the ratio against 1.0 steps/sec — an optimistic estimate
-of the reference TF2 graph on its single CUDA-10.1-era GPU for this recipe
+1. **WGAN-GP train steps/sec** on the paper recipe
+   (``/root/reference/README.md:88-93``): sl2048, batch 128, num_units 64,
+   kernel 24, strides 2, m=10, layer_norm, bf16. One jitted step = 5 critic
+   updates (incl. fused gradient penalty) + 1 generator update.
+2. **OASIS deconvolution traces/sec** at sl2048 through the backend the eval
+   pipeline actually uses on this machine (the Pallas kernel on TPU —
+   ``calciumgan_tpu/ops/oasis_pallas.py``).
+
+MFU is derived from XLA's compiled cost analysis for the train step against
+the v5e bf16 peak (197 TFLOP/s/chip).
+
+``vs_baseline`` is the train-step ratio against 1.0 steps/sec — an
+*estimate* (the reference publishes no numbers, BASELINE.md) of the
+reference TF2 graph on its single CUDA-10.1-era GPU for this recipe
 (5 critic iterations x 4 forward/backward passes over ~10^9-FLOP conv
-stacks per step).
+stacks per step). The raw measurements are all carried in the JSON so the
+estimate can be re-based at will.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
 """
 
 import json
@@ -22,17 +30,15 @@ import time
 import jax
 import numpy as np
 
-ESTIMATED_REFERENCE_STEPS_PER_SEC = 1.0
+ESTIMATED_REFERENCE_STEPS_PER_SEC = 1.0  # estimate; reference publishes none
+V5E_BF16_PEAK_TFLOPS = 197.0  # per chip
 
 
-def main():
+def bench_train_step():
     from calciumgan_tpu.algorithms.registry import get_algorithm
     from calciumgan_tpu.models.registry import get_models
     from calciumgan_tpu.parallel import mesh as mesh_lib
-    from calciumgan_tpu.train import enable_compilation_cache
     from __graft_entry__ import _flagship_config
-
-    enable_compilation_cache()
 
     n_dev = len(jax.devices())
     batch_size = 128
@@ -62,6 +68,16 @@ def main():
         state, logs = train_fn(state, batch, jax.random.fold_in(key, i))
         sync(logs)
 
+    # FLOPs of the compiled step, for the MFU estimate
+    tflop_per_step = None
+    try:
+        cost = train_fn.lower(state, batch, key).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        tflop_per_step = float(cost["flops"]) / 1e12
+    except Exception:
+        pass
+
     # pipelined throughput: chain `steps` dispatches and sync once on the
     # final step's logs (whose value depends on the whole state chain) —
     # this is how the training loop actually runs; per-step sync would add
@@ -78,12 +94,64 @@ def main():
         times.append((time.perf_counter() - start) / steps)
 
     steps_per_sec = 1.0 / float(np.median(times))
+    mfu_pct = None
+    if tflop_per_step:
+        mfu_pct = 100.0 * tflop_per_step * steps_per_sec / (
+            V5E_BF16_PEAK_TFLOPS * n_dev)
+    return steps_per_sec, n_dev, tflop_per_step, mfu_pct
+
+
+def bench_oasis(T: int = 2048, n_traces: int = 4096):
+    """Deconvolution throughput with honest tunnel methodology: the input
+    lives on device (a per-rep host feed would measure the ~400 ms/8 MB
+    tunnel upload, not the kernel), every rep perturbs it on device (reps on
+    identical inputs have produced impossibly fast timings), and the sync is
+    a scalar that depends on the whole output."""
+    import jax.numpy as jnp
+    from calciumgan_tpu.ops.oasis import ar1_filter, deconvolve_signals
+
+    rng = np.random.default_rng(1)
+    spikes = (rng.random((n_traces, T)) < 0.02).astype(np.float32)
+    traces = np.asarray(ar1_filter(spikes, g=(0.95,)))
+    traces = traces + 0.3 * rng.standard_normal(
+        traces.shape).astype(np.float32)
+
+    @jax.jit
+    def run(y, eps):
+        return deconvolve_signals(y + eps).sum()
+
+    dev = jax.device_put(traces)
+    float(run(dev, jnp.float32(0)))  # compile
+    times = []
+    for i in range(5):
+        start = time.perf_counter()
+        float(run(dev, jnp.float32(1e-6 * (i + 1))))
+        times.append(time.perf_counter() - start)
+    return n_traces / float(np.median(times))
+
+
+def main():
+    from calciumgan_tpu.train import enable_compilation_cache
+
+    enable_compilation_cache()
+    steps_per_sec, n_dev, tflop, mfu = bench_train_step()
+    traces_per_sec = bench_oasis()
+
     print(json.dumps({
         "metric": "wgan_gp_train_steps_per_sec_sl2048_bs128",
         "value": round(steps_per_sec, 4),
         "unit": "steps/sec",
         "vs_baseline": round(
             steps_per_sec / ESTIMATED_REFERENCE_STEPS_PER_SEC, 4),
+        "vs_baseline_note": "ratio vs an ESTIMATED 1.0 steps/sec for the "
+                            "reference TF2 graph (no published numbers)",
+        "n_devices": n_dev,
+        "steps_per_sec_per_chip": round(steps_per_sec / n_dev, 4),
+        "train_step_tflop": round(tflop, 3) if tflop else None,
+        "mfu_pct": round(mfu, 2) if mfu else None,
+        "oasis_traces_per_sec_sl2048": round(traces_per_sec, 1),
+        "oasis_backend": "pallas" if jax.default_backend() == "tpu"
+                         else "while_loop",
     }))
 
 
