@@ -42,6 +42,7 @@ class WGAN_GP(GAN):
         super().__init__(config, generator, discriminator)
         self.penalty = float(config.gradient_penalty)
         self.n_critic = int(config.n_critic)
+        self.unroll_critic = bool(getattr(config, "unroll_critic", False))
 
     # ---- losses -------------------------------------------------------
     def generator_loss(self, fake_output):
@@ -109,7 +110,7 @@ class WGAN_GP(GAN):
 
         (dis_net, gen_bs), (dis_losses, gps) = lax.scan(
             critic_step, (state.discriminator, state.generator.batch_stats),
-            critic_keys)
+            critic_keys, unroll=self.n_critic if self.unroll_critic else 1)
 
         # ---- one generator update ----
         k_noise, k_gen, k_fake = jax.random.split(gen_key, 3)

@@ -51,6 +51,11 @@ class Config:
     layer_norm: bool = False
     algorithm: str = "wgan-gp"
     n_critic: int = 5
+    # unroll the critic loop into the XLA graph instead of a lax.scan:
+    # identical math; XLA can schedule across iterations and its cost
+    # analysis counts every iteration (a scan body is counted once, which
+    # understates FLOPs/MFU n_critic-fold). Costs ~n_critic x compile time.
+    unroll_critic: bool = False
     clear_output_dir: bool = False
     save_generated: str = ""  # "", "last", "all"
     plot_weights: bool = False

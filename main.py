@@ -35,6 +35,10 @@ def parse_args(argv=None) -> Config:
     parser.add_argument("--layer_norm", action="store_true")
     parser.add_argument("--algorithm", default="wgan-gp", type=str)
     parser.add_argument("--n_critic", default=5, type=int)
+    parser.add_argument("--unroll_critic", action="store_true",
+                        help="unroll the critic loop into the XLA graph "
+                             "(same math; better scheduling and honest FLOP "
+                             "accounting at ~n_critic x compile time)")
     parser.add_argument("--clear_output_dir", action="store_true")
     parser.add_argument("--save_generated", default="", type=str,
                         choices=["", "last", "all"])

@@ -204,3 +204,19 @@ def test_model_parallel_mesh_runs():
                                float(elogs["loss/generator"]), rtol=1e-4)
     np.testing.assert_allclose(float(elogs_single["loss/discriminator"]),
                                float(elogs["loss/discriminator"]), rtol=1e-4)
+
+
+def test_unrolled_critic_matches_scan():
+    """--unroll_critic is pure scheduling: identical math to the lax.scan
+    critic loop (and makes XLA's cost analysis count every iteration)."""
+    real = fake_batch(tiny_config(), n=8)
+    key = jax.random.PRNGKey(5)
+    logs = {}
+    for unroll in (False, True):
+        algo, state = build(tiny_config(unroll_critic=unroll))
+        _, logs[unroll] = jax.jit(algo.train_step)(state, jnp.asarray(real),
+                                                   key)
+    for k in logs[False]:
+        np.testing.assert_allclose(np.asarray(logs[False][k]),
+                                   np.asarray(logs[True][k]), rtol=2e-5,
+                                   err_msg=k)
