@@ -43,7 +43,6 @@ import math
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
@@ -134,8 +133,8 @@ def _stacks_to_cs(vs, ws, ls, n, T: int, g: float):
     Gather-free reconstruction: a per-element ``searchsorted`` +
     ``take_along_axis`` version measured ~230 ms for 1024 sl2048 traces on
     v5e — 6x the event-machine kernel itself. Instead the pool heights are
-    splatted onto the time axis at their start positions via a fused one-hot
-    broadcast-reduce, and the within-pool geometric decay ``h * g^(t-start)``
+    splatted onto the time axis at their start positions by a D-step scan of
+    one-hot accumulations, and the within-pool decay ``h * g^(t-start)``
     becomes a *reset* affine recurrence ``c_t = a_t c_{t-1} + b_t`` with
     ``a = 0, b = h`` at pool starts and ``a = g, b = 0`` elsewhere — one
     log-depth ``associative_scan``, the same first-order-recurrence trick as
