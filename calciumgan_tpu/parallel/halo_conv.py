@@ -40,45 +40,76 @@ def halo_sizes(kernel: int, stride: int) -> tuple:
     return left, total - left
 
 
-def halo_conv1d(x: jnp.ndarray, kernel: jnp.ndarray, stride: int,
-                mesh: Mesh, axis: str) -> jnp.ndarray:
-    """SAME strided conv over a time-sharded (B, W, C) input.
+def exchange_halos(x_local: jnp.ndarray, left: int, right: int, axis: str,
+                   n_shards: int, edge_mode: str = "zero") -> jnp.ndarray:
+    """[left_halo | local | right_halo] via ``ppermute`` ring exchanges.
 
-    ``x``: local function input, W sharded over mesh axis ``axis`` (use via
-    the returned jitted callable from :func:`make_halo_conv1d`, or call
-    inside your own shard_map). ``kernel``: (K, C_in, C_out), replicated.
-    Requires W_shard % stride == 0.
+    Must run inside a ``shard_map`` over mesh axis ``axis``; ``x_local`` is
+    (B, Ws, C). Global-boundary halos are zeros (``edge_mode='zero'``, SAME
+    conv) or the local reflection (``'reflect'``, phase shuffle — matching
+    ``jnp.pad(mode='reflect')``: pad position j maps to x[pad - j]).
+
+    Halos come from the IMMEDIATE neighbour only, so the shard width must
+    cover the halo — the long-context regime this primitive exists for.
+    (A silent jnp slice-clamp otherwise corrupts the exchange.)
     """
-    n_shards = mesh.shape[axis]
+    if x_local.shape[1] < max(left, right) + (1 if edge_mode == "reflect"
+                                              else 0):
+        raise ValueError(
+            f"shard width {x_local.shape[1]} smaller than halo "
+            f"({left}, {right}): use fewer shards or longer sequences")
+    idx = lax.axis_index(axis)
+    parts = []
+    if left > 0:
+        from_left = lax.ppermute(
+            x_local[:, -left:, :], axis,
+            [(i, (i + 1) % n_shards) for i in range(n_shards)])
+        if edge_mode == "reflect":
+            refl = x_local[:, 1:left + 1, :][:, ::-1, :]
+            from_left = jnp.where(idx == 0, refl, from_left)
+        else:
+            from_left = jnp.where(idx == 0, 0.0, from_left)
+        parts.append(from_left)
+    parts.append(x_local)
+    if right > 0:
+        from_right = lax.ppermute(
+            x_local[:, :right, :], axis,
+            [(i, (i - 1) % n_shards) for i in range(n_shards)])
+        if edge_mode == "reflect":
+            refl = x_local[:, -right - 1:-1, :][:, ::-1, :]
+            from_right = jnp.where(idx == n_shards - 1, refl, from_right)
+        else:
+            from_right = jnp.where(idx == n_shards - 1, 0.0, from_right)
+        parts.append(from_right)
+    return jnp.concatenate(parts, axis=1)
+
+
+def halo_conv1d_local(x_local: jnp.ndarray, kernel: jnp.ndarray, stride: int,
+                      axis: str, n_shards: int) -> jnp.ndarray:
+    """Shard-local body of the SAME strided conv (call inside shard_map)."""
     K = kernel.shape[0]
     if K < stride:
         raise ValueError(f"kernel {K} < stride {stride} is unsupported")
     left, right = halo_sizes(K, stride)
+    x_ext = exchange_halos(x_local, left, right, axis, n_shards)
+    return lax.conv_general_dilated(
+        x_ext, kernel, window_strides=(stride,), padding="VALID",
+        dimension_numbers=("NWC", "WIO", "NWC"))
+
+
+def halo_conv1d(x: jnp.ndarray, kernel: jnp.ndarray, stride: int,
+                mesh: Mesh, axis: str) -> jnp.ndarray:
+    """SAME strided conv over a time-sharded (B, W, C) input.
+
+    ``x``: W sharded over mesh axis ``axis`` (use via the returned jitted
+    callable from :func:`make_halo_conv1d`, or call
+    :func:`halo_conv1d_local` inside your own shard_map). ``kernel``:
+    (K, C_in, C_out), replicated. Requires W_shard % stride == 0.
+    """
+    n_shards = mesh.shape[axis]
 
     def local(x_local, k_full):
-        idx = lax.axis_index(axis)
-        # ring exchange: each shard receives its left neighbour's right edge
-        # and its right neighbour's left edge
-        if left > 0:
-            from_left = lax.ppermute(
-                x_local[:, -left:, :], axis,
-                [(i, (i + 1) % n_shards) for i in range(n_shards)])
-            from_left = jnp.where(idx == 0, 0.0, from_left)  # global edge
-        else:
-            from_left = jnp.zeros(
-                (x_local.shape[0], 0, x_local.shape[2]), x_local.dtype)
-        if right > 0:
-            from_right = lax.ppermute(
-                x_local[:, :right, :], axis,
-                [(i, (i - 1) % n_shards) for i in range(n_shards)])
-            from_right = jnp.where(idx == n_shards - 1, 0.0, from_right)
-        else:
-            from_right = jnp.zeros(
-                (x_local.shape[0], 0, x_local.shape[2]), x_local.dtype)
-        x_ext = jnp.concatenate([from_left, x_local, from_right], axis=1)
-        return lax.conv_general_dilated(
-            x_ext, k_full, window_strides=(stride,), padding="VALID",
-            dimension_numbers=("NWC", "WIO", "NWC"))
+        return halo_conv1d_local(x_local, k_full, stride, axis, n_shards)
 
     return jax.shard_map(
         local, mesh=mesh,

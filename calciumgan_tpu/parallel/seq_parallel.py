@@ -1,0 +1,122 @@
+"""Sequence-parallel (context-parallel) CalciumGAN discriminator forward.
+
+SURVEY.md §5.7: the reference never shards the time axis — long recordings
+are windowed offline to sl2048. This module is the TPU-native long-context
+extension: the full 1-D discriminator stack (5 x [SAME strided conv ->
+activation -> phase shuffle] -> flatten -> Dense(1), parity with
+``gan/models/calciumgan.py:141-192``) over an input whose TIME axis is
+sharded across a mesh axis. All cross-shard traffic rides ``lax.ppermute``
+ring exchanges over ICI:
+
+- each conv exchanges its (K - s)-frame halo
+  (:func:`calciumgan_tpu.parallel.halo_conv.halo_conv1d_local`),
+- phase shuffle exchanges an m-frame halo with *reflect* global edges and
+  dynamic-slices at the shifted offset — exactly
+  :func:`calciumgan_tpu.ops.phase_shuffle.phase_shuffle` on the global
+  sequence (one shift for the whole batch; the key must be replicated),
+- the O(seq) Dense(1) head is computed as per-shard partial dot products
+  over the shard's contiguous rows of the flattened (W, C) activations,
+  joined by a ``psum``.
+
+Shard widths must stay divisible by ``strides**5`` (so every layer's local
+width divides the stride) and larger than ``m`` after the last shuffled
+layer. With the paper recipe (kernel 24, stride 2, m=10) the halos are
+max(22, m) frames per layer — negligible against shards of thousands of
+frames.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from calciumgan_tpu.models import base
+from calciumgan_tpu.parallel.halo_conv import (exchange_halos,
+                                               halo_conv1d_local)
+
+
+def halo_phase_shuffle_local(x_local: jnp.ndarray, key: jax.Array, m: int,
+                             axis: str, n_shards: int) -> jnp.ndarray:
+    """Global-sequence phase shuffle on a time-sharded (B, Ws, C) input.
+
+    Must run inside a shard_map over ``axis`` with ``key`` replicated: every
+    shard draws the same shift u ~ U{-m..m} and takes
+    ``global_x[t + u]`` for its own rows, reflect-indexed at the global
+    edges — bit-identical to ``ops.phase_shuffle.phase_shuffle`` applied to
+    the gathered sequence.
+    """
+    if m == 0:
+        return x_local
+    width = x_local.shape[1]
+    if width <= m:
+        raise ValueError(f"shard width {width} must exceed m={m}")
+    shift = jax.random.randint(key, (), -m, m + 1)
+    x_ext = exchange_halos(x_local, m, m, axis, n_shards,
+                           edge_mode="reflect")
+    return lax.dynamic_slice(
+        x_ext, (0, (m + shift).astype(jnp.int32), 0), x_local.shape)
+
+
+def seq_parallel_discriminator(params, x, phase_keys, mesh: Mesh, axis: str,
+                               *, kernel_size: int, strides: int, m: int,
+                               activation: str = "leakyrelu"):
+    """Discriminator forward over a time-sharded batch.
+
+    Args:
+        params: the flax ``Discriminator`` param dict (``Conv_0..Conv_4``,
+            ``Dense_0``) — replicated.
+        x: (B, W, C) with W sharded over ``axis``.
+        phase_keys: one replicated PRNG key per shuffled layer (4 entries),
+            or None for m=0 / eval.
+        mesh, axis: the mesh and its time axis.
+
+    Returns:
+        (B, 1) float32 critic scores, replicated.
+    """
+    n_shards = mesh.shape[axis]
+    act = base.activation(activation)
+    keys = list(phase_keys) if phase_keys is not None else [None] * 4
+
+    def local(x_local, params):
+        h = x_local
+        for i in range(5):
+            layer = params[f"Conv_{i}"]
+            h = halo_conv1d_local(h, layer["kernel"], strides, axis,
+                                  n_shards)
+            h = h + layer["bias"]
+            h = act(h)
+            if i < 4 and m > 0 and keys[i] is not None:
+                h = halo_phase_shuffle_local(h, keys[i], m, axis, n_shards)
+        # flatten is (W, C) row-major, so shard idx owns the contiguous
+        # kernel rows [idx*Ws*C, (idx+1)*Ws*C) of the global Dense input
+        B, Ws, C = h.shape
+        flat = h.reshape(B, Ws * C)
+        head = params["Dense_0"]
+        idx = lax.axis_index(axis)
+        k_slice = lax.dynamic_slice(
+            head["kernel"], (idx * Ws * C, 0), (Ws * C, 1))
+        partial = flat @ k_slice
+        out = lax.psum(partial, axis) + head["bias"]
+        return out.astype(jnp.float32)
+
+    return jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(None, axis, None), P()),
+        out_specs=P(),
+        check_vma=False)(x, params)
+
+
+def make_seq_parallel_discriminator(mesh: Mesh, axis: str, *,
+                                    kernel_size: int, strides: int, m: int,
+                                    activation: str = "leakyrelu"):
+    """Jitted (params, x, phase_keys) -> (B, 1) with W sharded over ``axis``."""
+    def fn(params, x, phase_keys):
+        return seq_parallel_discriminator(
+            params, x, phase_keys, mesh, axis, kernel_size=kernel_size,
+            strides=strides, m=m, activation=activation)
+
+    sharded = NamedSharding(mesh, P(None, axis, None))
+    rep = NamedSharding(mesh, P())
+    return jax.jit(fn, in_shardings=(rep, sharded, rep), out_shardings=rep)
