@@ -60,7 +60,7 @@ def halo_phase_shuffle_local(x_local: jnp.ndarray, key: jax.Array, m: int,
 
 
 def seq_parallel_discriminator(params, x, phase_keys, mesh: Mesh, axis: str,
-                               *, kernel_size: int, strides: int, m: int,
+                               *, strides: int, m: int,
                                activation: str = "leakyrelu"):
     """Discriminator forward over a time-sharded batch.
 
@@ -109,12 +109,12 @@ def seq_parallel_discriminator(params, x, phase_keys, mesh: Mesh, axis: str,
 
 
 def make_seq_parallel_discriminator(mesh: Mesh, axis: str, *,
-                                    kernel_size: int, strides: int, m: int,
+                                    strides: int, m: int,
                                     activation: str = "leakyrelu"):
     """Jitted (params, x, phase_keys) -> (B, 1) with W sharded over ``axis``."""
     def fn(params, x, phase_keys):
         return seq_parallel_discriminator(
-            params, x, phase_keys, mesh, axis, kernel_size=kernel_size,
+            params, x, phase_keys, mesh, axis,
             strides=strides, m=m, activation=activation)
 
     sharded = NamedSharding(mesh, P(None, axis, None))

@@ -59,8 +59,7 @@ def test_matches_flax_discriminator_m0(rng):
     want = np.asarray(dis.apply(variables, jnp.asarray(x), training=False))
 
     mesh = time_mesh()
-    fn = make_seq_parallel_discriminator(mesh, "time", kernel_size=k,
-                                         strides=s, m=0)
+    fn = make_seq_parallel_discriminator(mesh, "time", strides=s, m=0)
     got = fn(variables["params"], shard_time(mesh, x), None)
     np.testing.assert_allclose(np.asarray(got), want, atol=2e-5)
 
@@ -90,8 +89,7 @@ def test_matches_manual_forward_with_phase_shuffle(rng):
 
     mesh = time_mesh()
     got = seq_parallel_discriminator(
-        params, shard_time(mesh, x), keys, mesh, "time",
-        kernel_size=k, strides=s, m=m)
+        params, shard_time(mesh, x), keys, mesh, "time", strides=s, m=m)
     np.testing.assert_allclose(np.asarray(got), want, atol=2e-4, rtol=2e-5)
 
 
@@ -105,4 +103,4 @@ def test_rejects_shards_narrower_than_halo(rng):
                       training=False)["params"]
     with pytest.raises(ValueError, match="halo"):
         seq_parallel_discriminator(params, shard_time(mesh, x), None, mesh,
-                                   "time", kernel_size=24, strides=2, m=0)
+                                   "time", strides=2, m=0)
