@@ -97,6 +97,43 @@ def halo_conv1d_local(x_local: jnp.ndarray, kernel: jnp.ndarray, stride: int,
         dimension_numbers=("NWC", "WIO", "NWC"))
 
 
+def _conv_transpose_same_padding(kernel: int, stride: int) -> tuple:
+    """(pad_a, pad_b) on the input-dilated array for SAME transpose conv —
+    the same split ``lax.conv_transpose`` computes (out = in * stride)."""
+    pad_len = kernel + stride - 2
+    if stride > kernel - 1:
+        pad_a = kernel - 1
+    else:
+        pad_a = -(-pad_len // 2)
+    return pad_a, pad_len - pad_a
+
+
+def halo_conv_transpose1d_local(x_local: jnp.ndarray, kernel: jnp.ndarray,
+                                stride: int, axis: str,
+                                n_shards: int) -> jnp.ndarray:
+    """Shard-local SAME transpose conv (out width = Ws * stride).
+
+    The global op is a conv over the stride-dilated input padded by
+    (pad_a, pad_b); a shard's outputs [t0*s, (t0+Ws)*s) read dilated
+    positions [t0*s - pad_a, ...], i.e. input samples from ceil(pad_a/s)
+    (left) / ceil(pad_b/s) (right) neighbour frames. Exchange those halos,
+    run the dilated conv VALID over the extension, and slice the local
+    window at offset hl*s - pad_a. Matches ``flax.linen.ConvTranspose``
+    (padding='SAME', NWC/WIO) exactly.
+    """
+    K = kernel.shape[0]
+    pad_a, pad_b = _conv_transpose_same_padding(K, stride)
+    hl = -(-pad_a // stride)
+    hr = -(-pad_b // stride)
+    Ws = x_local.shape[1]
+    x_ext = exchange_halos(x_local, hl, hr, axis, n_shards)
+    y = lax.conv_general_dilated(
+        x_ext, kernel, window_strides=(1,), padding=((0, 0),),
+        lhs_dilation=(stride,), dimension_numbers=("NWC", "WIO", "NWC"))
+    u0 = hl * stride - pad_a
+    return lax.slice_in_dim(y, u0, u0 + Ws * stride, axis=1)
+
+
 def halo_conv1d(x: jnp.ndarray, kernel: jnp.ndarray, stride: int,
                 mesh: Mesh, axis: str) -> jnp.ndarray:
     """SAME strided conv over a time-sharded (B, W, C) input.

@@ -34,7 +34,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from calciumgan_tpu.models import base
 from calciumgan_tpu.parallel.halo_conv import (exchange_halos,
-                                               halo_conv1d_local)
+                                               halo_conv1d_local,
+                                               halo_conv_transpose1d_local)
 
 
 def halo_phase_shuffle_local(x_local: jnp.ndarray, key: jax.Array, m: int,
@@ -106,6 +107,76 @@ def seq_parallel_discriminator(params, x, phase_keys, mesh: Mesh, axis: str,
         in_specs=(P(None, axis, None), P()),
         out_specs=P(),
         check_vma=False)(x, params)
+
+
+def seq_parallel_generator(params, z, mesh: Mesh, axis: str, *,
+                           strides: int, activation: str = "leakyrelu",
+                           normalize: bool = True):
+    """Generator forward producing a TIME-SHARDED (B, W, C) signal.
+
+    The flax ``Generator`` (``models/calciumgan.py:31-64``) maps noise ->
+    Dense -> reshape (w0, noise_dim) -> 5 x [SAME ConvTranspose -> norm ->
+    act] -> Dense(C) -> sigmoid. Here every stage is shard-local: the input
+    projection computes only this shard's ``w0/n`` positions (a column slice
+    of the Dense kernel), the transpose convs exchange
+    ceil(pad/stride)-frame halos
+    (:func:`calciumgan_tpu.parallel.halo_conv.halo_conv_transpose1d_local`),
+    and LayerNorm / the output Dense are per-position. BatchNorm is
+    unsupported (its batch statistics would need cross-shard reduction).
+
+    Args:
+        params: the flax ``Generator`` param dict, replicated.
+        z: (B, noise_dim), replicated.
+
+    Returns:
+        (B, W, C) float32 with W sharded over ``axis``.
+    """
+    n_shards = mesh.shape[axis]
+    act = base.activation(activation)
+    noise_dim = params["Dense_0"]["kernel"].shape[0]
+    w0 = params["Dense_0"]["kernel"].shape[1] // noise_dim
+    if w0 % n_shards:
+        raise ValueError(f"w0={w0} not divisible by {n_shards} shards")
+    ws0 = w0 // n_shards
+
+    def local(z, params):
+        idx = lax.axis_index(axis)
+        d0 = params["Dense_0"]
+        k_slice = lax.dynamic_slice(
+            d0["kernel"], (0, idx * ws0 * noise_dim),
+            (noise_dim, ws0 * noise_dim))
+        b_slice = lax.dynamic_slice(
+            d0["bias"], (idx * ws0 * noise_dim,), (ws0 * noise_dim,))
+        h = act(z @ k_slice + b_slice)
+        h = h.reshape(z.shape[0], ws0, noise_dim)
+
+        for i in range(5):
+            layer = params[f"ConvTranspose_{i}"]
+            h = halo_conv_transpose1d_local(h, layer["kernel"], strides,
+                                            axis, n_shards)
+            h = h + layer["bias"]
+            norm = params.get(f"Norm_{i}", {})
+            if "BatchNorm_0" in norm:
+                raise ValueError(
+                    "sequence-parallel generator does not support BatchNorm")
+            if "LayerNorm_0" in norm:
+                ln = norm["LayerNorm_0"]
+                mu = h.mean(axis=-1, keepdims=True)
+                var = ((h - mu) ** 2).mean(axis=-1, keepdims=True)
+                h = (h - mu) * lax.rsqrt(var + 1e-3)
+                h = h * ln["scale"] + ln["bias"]
+            h = act(h)
+
+        out = params["Dense_1"]
+        h = h @ out["kernel"] + out["bias"]
+        h = h.astype(jnp.float32)
+        return jax.nn.sigmoid(h) if normalize else h
+
+    return jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(), P()),
+        out_specs=P(None, axis, None),
+        check_vma=False)(z, params)
 
 
 def make_seq_parallel_discriminator(mesh: Mesh, axis: str, *,

@@ -104,3 +104,50 @@ def test_rejects_shards_narrower_than_halo(rng):
     with pytest.raises(ValueError, match="halo"):
         seq_parallel_discriminator(params, shard_time(mesh, x), None, mesh,
                                    "time", strides=2, m=0)
+
+
+def test_halo_conv_transpose_matches_flax(rng):
+    import flax.linen as nn
+    from calciumgan_tpu.parallel.halo_conv import halo_conv_transpose1d_local
+
+    mesh = time_mesh()
+    for K, s in ((24, 2), (4, 2), (3, 4), (5, 1)):
+        x = rng.standard_normal((2, 256, 3)).astype(np.float32)
+        mod = nn.ConvTranspose(5, kernel_size=(K,), strides=(s,),
+                               padding="SAME")
+        variables = mod.init(jax.random.PRNGKey(K), jnp.asarray(x))
+        want = np.asarray(mod.apply(variables, jnp.asarray(x)))
+        kernel = variables["params"]["kernel"]
+        bias = variables["params"]["bias"]
+
+        def local(xl):
+            return halo_conv_transpose1d_local(xl, kernel, s, "time", 8) \
+                + bias
+
+        got = jax.shard_map(
+            local, mesh=mesh, in_specs=P(None, "time", None),
+            out_specs=P(None, "time", None),
+            check_vma=False)(shard_time(mesh, x))
+        np.testing.assert_allclose(np.asarray(got), want, atol=2e-5,
+                                   err_msg=f"K={K} s={s}")
+
+
+def test_seq_parallel_generator_matches_flax(rng):
+    from calciumgan_tpu.models.calciumgan import Generator
+    from calciumgan_tpu.parallel.seq_parallel import seq_parallel_generator
+
+    mesh = time_mesh()
+    for layer_norm in (True, False):
+        gen = Generator(sequence_length=4096, num_channels=3, noise_dim=8,
+                        num_units=2, kernel_size=24, strides=2,
+                        layer_norm=layer_norm)
+        z = rng.standard_normal((2, 8)).astype(np.float32)
+        variables = gen.init(jax.random.PRNGKey(0), jnp.asarray(z),
+                             training=False)
+        want = np.asarray(gen.apply(variables, jnp.asarray(z),
+                                    training=False))
+        got = seq_parallel_generator(
+            variables["params"], jnp.asarray(z), mesh, "time", strides=2)
+        assert got.shape == want.shape == (2, 4096, 3)
+        np.testing.assert_allclose(np.asarray(got), want, atol=3e-5,
+                                   err_msg=f"layer_norm={layer_norm}")
