@@ -71,6 +71,10 @@ class Config:
     data_parallelism: int = -1
     # Model-parallel mesh size (shards the large dense layers; 1 = off).
     model_parallelism: int = 1
+    # Sequence/context-parallel mesh size: shards the TIME axis over a
+    # 'time' mesh axis via ppermute halo exchanges (1 = off; wgan-gp +
+    # calciumgan + layer_norm only — parallel/long_context.py).
+    time_parallelism: int = 1
     # Checkpoint cadence in epochs (reference hard-codes 10, main.py:141).
     checkpoint_every: int = 10
 

@@ -40,8 +40,12 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def batch_sharding(mesh: Mesh, ndim: int) -> NamedSharding:
-    """Shard dim 0 (batch) over the data axis, replicate the rest."""
-    return NamedSharding(mesh, P(DATA_AXIS, *([None] * (ndim - 1))))
+    """Shard dim 0 (batch) over the data axis; on a long-context mesh the
+    sequence dim (axis 1 of NWC signals) additionally shards over 'time'."""
+    rest = [None] * (ndim - 1)
+    if "time" in mesh.axis_names and ndim >= 3:
+        rest[0] = "time"
+    return NamedSharding(mesh, P(DATA_AXIS, *rest))
 
 
 # ---------------------------------------------------------------------------

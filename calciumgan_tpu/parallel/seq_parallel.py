@@ -62,7 +62,8 @@ def halo_phase_shuffle_local(x_local: jnp.ndarray, key: jax.Array, m: int,
 
 def seq_parallel_discriminator(params, x, phase_keys, mesh: Mesh, axis: str,
                                *, strides: int, m: int,
-                               activation: str = "leakyrelu"):
+                               activation: str = "leakyrelu",
+                               batch_axis: str | None = None):
     """Discriminator forward over a time-sharded batch.
 
     Args:
@@ -100,18 +101,19 @@ def seq_parallel_discriminator(params, x, phase_keys, mesh: Mesh, axis: str,
             head["kernel"], (idx * Ws * C, 0), (Ws * C, 1))
         partial = flat @ k_slice
         out = lax.psum(partial, axis) + head["bias"]
-        return out.astype(jnp.float32)
+        return out.astype(jnp.float32)  # (B_local, 1); batch stays sharded
 
     return jax.shard_map(
         local, mesh=mesh,
-        in_specs=(P(None, axis, None), P()),
-        out_specs=P(),
+        in_specs=(P(batch_axis, axis, None), P()),
+        out_specs=P(batch_axis, None),
         check_vma=False)(x, params)
 
 
 def seq_parallel_generator(params, z, mesh: Mesh, axis: str, *,
                            strides: int, activation: str = "leakyrelu",
-                           normalize: bool = True):
+                           normalize: bool = True,
+                           batch_axis: str | None = None):
     """Generator forward producing a TIME-SHARDED (B, W, C) signal.
 
     The flax ``Generator`` (``models/calciumgan.py:31-64``) maps noise ->
@@ -174,8 +176,8 @@ def seq_parallel_generator(params, z, mesh: Mesh, axis: str, *,
 
     return jax.shard_map(
         local, mesh=mesh,
-        in_specs=(P(), P()),
-        out_specs=P(None, axis, None),
+        in_specs=(P(batch_axis, None), P()),
+        out_specs=P(batch_axis, axis, None),
         check_vma=False)(z, params)
 
 

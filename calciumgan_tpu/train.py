@@ -341,13 +341,34 @@ def main(config, return_metrics: bool = False,
     config.validate_model_shapes()
 
     generator, discriminator = get_models(config)
-    algo = get_algorithm(config, generator, discriminator)
 
-    mesh = mesh_lib.create_mesh(config.data_parallelism,
-                                config.model_parallelism, devices=devices)
-    state = algo.init_state(jax.random.PRNGKey(config.seed))
-    # place the initial state with its mesh shardings before compiling
-    state = jax.device_put(state, mesh_lib.state_shardings(mesh, state))
+    time_par = int(getattr(config, "time_parallelism", 1) or 1)
+    if time_par > 1:
+        # long-context (context-parallel) training: sequence frames sharded
+        # over a 'time' mesh axis (parallel/long_context.py)
+        from calciumgan_tpu.parallel import long_context as lc
+        if jax.process_count() > 1:
+            raise NotImplementedError(
+                "time_parallelism is single-host for now (multi-host would "
+                "need time-aware per-process batch assembly)")
+        n_dev = len(devices if devices is not None else jax.devices())
+        data_par = config.data_parallelism
+        if data_par in (-1, 0, None):
+            data_par = n_dev // time_par
+        mesh = lc.create_time_mesh(data_par, time_par, devices=devices)
+        algo, *fns_lc = lc.make_long_context_algorithm(
+            config, mesh, generator, discriminator)
+        fns_lc = tuple(fns_lc)
+        state = algo.init_state(jax.random.PRNGKey(config.seed))
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        state = jax.device_put(state, NamedSharding(mesh, P()))
+    else:
+        algo = get_algorithm(config, generator, discriminator)
+        mesh = mesh_lib.create_mesh(config.data_parallelism,
+                                    config.model_parallelism, devices=devices)
+        state = algo.init_state(jax.random.PRNGKey(config.seed))
+        # place the initial state with its mesh shardings before compiling
+        state = jax.device_put(state, mesh_lib.state_shardings(mesh, state))
 
     if config.verbose:
         print(f"mesh: {dict(zip(mesh.axis_names, mesh.devices.shape))} "
@@ -382,7 +403,8 @@ def main(config, return_metrics: bool = False,
         io.cache_validation_set(config, validation_ds)
     plot_real_signals(config, summary, validation_ds)
 
-    fns = mesh_lib.make_step_fns(algo, mesh, state)
+    fns = fns_lc if time_par > 1 else mesh_lib.make_step_fns(
+        algo, mesh, state)
 
     start = time()
     state = train_and_validate(config, train_ds, validation_ds, algo, fns,

@@ -54,6 +54,10 @@ def parse_args(argv=None) -> Config:
     parser.add_argument("--data_parallelism", default=-1, type=int,
                         help="-1: all visible devices")
     parser.add_argument("--model_parallelism", default=1, type=int)
+    parser.add_argument("--time_parallelism", default=1, type=int,
+                        help="shard the sequence (time) axis over N devices "
+                             "for long-context training (wgan-gp + "
+                             "calciumgan + layer_norm)")
     parser.add_argument("--checkpoint_every", default=10, type=int)
     parser.add_argument("--distributed", action="store_true",
                         help="multi-host: call jax.distributed.initialize() "
