@@ -77,9 +77,16 @@ def restore(ckpt_dir: str, template: Any, epoch: Optional[int] = None,
     if epoch is None:
         return template, None
     path = checkpoint_path(ckpt_dir, epoch)
+    # from_bytes only needs a HOST pytree with matching structure/dtypes —
+    # build it from the template's avals instead of device_get-ing the whole
+    # initial state (a wasted ~100 MB device->host transfer per resume, and
+    # very slow through the hosted tunnel)
+    host_template = jax.tree_util.tree_map(
+        lambda leaf: np.zeros(leaf.shape, leaf.dtype)
+        if hasattr(leaf, "shape") and hasattr(leaf, "dtype") else leaf,
+        template)
     with open(path, "rb") as f:
-        host_state = serialization.from_bytes(jax.device_get(template),
-                                              f.read())
+        host_state = serialization.from_bytes(host_template, f.read())
 
     def put(tmpl, host):
         sharding = getattr(tmpl, "sharding", None)
