@@ -10,7 +10,7 @@ does h5 IO, the greedy heatmap sort, and matplotlib.
 from __future__ import annotations
 
 import functools
-from typing import Dict, List, Tuple
+from typing import Dict
 
 import jax
 import jax.numpy as jnp

@@ -31,7 +31,6 @@ two sets, returning the (real x fake) cross block — the reference's
 from __future__ import annotations
 
 import functools
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

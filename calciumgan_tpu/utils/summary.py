@@ -18,7 +18,7 @@ import io
 import os
 import shutil
 import threading
-from typing import Optional, Sequence
+from typing import Optional
 
 import matplotlib
 

@@ -2,7 +2,6 @@
 segmentation golden tests against the reference logic, pipeline loading."""
 
 import os
-import pickle
 
 import numpy as np
 import pytest
