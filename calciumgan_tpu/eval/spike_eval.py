@@ -28,8 +28,9 @@ from calciumgan_tpu.utils import arrays, h5
 def deconvolve_traces(traces: np.ndarray) -> np.ndarray:
     """Binary spikes for (..., T) traces.
 
-    Backend order: Pallas TPU kernel when a TPU is attached (~200k
-    traces/s/chip at sl2048 — see :mod:`calciumgan_tpu.ops.oasis_pallas`),
+    Backend order: Pallas TPU kernel when a TPU is attached (23-56k
+    traces/s/chip at sl2048, rising with batch as the fixed dispatch cost
+    amortizes — see :mod:`calciumgan_tpu.ops.oasis_pallas`),
     else the OpenMP C++ host kernel (~13.6k traces/s/core), else the XLA
     while_loop path (exact but HBM-bound)."""
     from calciumgan_tpu import native

@@ -131,8 +131,8 @@ def deconvolve_signals(signals: jnp.ndarray, g: float = 0.95,
     ``spike_helper.py:23-29``), minus the host pool.
 
     ``backend``: ``'pallas'`` (the VMEM event machine in
-    :mod:`calciumgan_tpu.ops.oasis_pallas`; ~200k traces/s/chip at sl2048 vs
-    444 for the while_loop path and 13.6k for the C++ host kernel),
+    :mod:`calciumgan_tpu.ops.oasis_pallas`; 23-56k traces/s/chip at sl2048
+    vs 444 for the while_loop path and 13.6k for the C++ host kernel),
     ``'while'`` (the exact ``lax.while_loop`` machine above), or ``'auto'``
     (pallas on TPU, while elsewhere). Traces the Pallas kernel flags as
     unreliable (stack overflow / unresolved merges — rare by construction)

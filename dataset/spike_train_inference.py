@@ -38,7 +38,7 @@ def generate_spike_train(args, filename):
             return
 
     signals = np.asarray(data["signals"], np.float32)
-    if jax.default_backend() == "tpu":  # Pallas kernel, ~200k traces/s/chip
+    if jax.default_backend() == "tpu":  # Pallas kernel, up to ~56k traces/s/chip
         oasis = np.asarray(jax.device_get(
             deconvolve_signals(signals, g=0.95, s_min=0.55, threshold=0.5)))
     else:
