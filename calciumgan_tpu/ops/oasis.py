@@ -30,7 +30,8 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-__all__ = ["oasis_ar1_jax", "deconvolve_signals", "ar1_filter"]
+__all__ = ["oasis_ar1_jax", "deconvolve_signals", "deconvolve_signals_host",
+           "ar1_filter"]
 
 
 def _oasis_single(y: jnp.ndarray, g: float, lam: float, s_min: float):
@@ -149,11 +150,55 @@ def deconvolve_signals(signals: jnp.ndarray, g: float = 0.95,
                                       depth=depth, interpret=interpret)
 
         def fix(s):
+            # in-graph exactness: when ANY lane flags, the whole batch
+            # re-runs the exact while_loop machine and flagged lanes take
+            # its result. Flags are rare by construction (module doc of
+            # oasis_pallas), but one flagged trace in a large chunk costs a
+            # full slow pass — host callers that can tolerate a device
+            # round-trip should prefer :func:`deconvolve_signals_host`,
+            # which gathers and recomputes only the flagged traces.
             _, s_w = oasis_ar1_jax(signals, g=g, lam=0.0, s_min=s_min)
             return jnp.where(redo[..., None], s_w, s)
 
         s = lax.cond(jnp.any(redo), fix, lambda x: x, s)
     return (s > threshold).astype(jnp.float32)
+
+
+def deconvolve_signals_host(signals, g: float = 0.95, s_min: float = 0.55,
+                            threshold: float = 0.5, depth: int | None = None):
+    """Host-driver deconvolution: Pallas kernel + host-side redo gathering.
+
+    Same result as :func:`deconvolve_signals` (backend='pallas') but redo
+    flags are resolved OUTSIDE the graph: only the flagged traces re-run the
+    exact while_loop machine, instead of the in-graph ``lax.cond`` that
+    recomputes the entire batch when any single lane flags (one unlucky
+    trace in a 4096-trace chunk would cost ~9 s there). Spikes come back as
+    a host int8 array — 4x less tunnel/host traffic than float32.
+
+    Args: signals (..., T) host array. Returns np.int8 of the same shape.
+    """
+    import numpy as np
+    from calciumgan_tpu.ops.oasis_pallas import oasis_ar1_pallas
+
+    signals = np.asarray(signals, np.float32)
+    interpret = jax.default_backend() != "tpu"
+
+    @functools.partial(jax.jit, static_argnames=("depth", "interpret"))
+    def run(y, depth, interpret):
+        _, s, redo = oasis_ar1_pallas(y, g=g, lam=0.0, s_min=s_min,
+                                      depth=depth, interpret=interpret)
+        return (s > threshold).astype(jnp.int8), redo
+
+    spikes_dev, redo_dev = run(signals, depth, interpret)
+    spikes = np.asarray(jax.device_get(spikes_dev))
+    flags = np.asarray(jax.device_get(redo_dev))
+    if flags.any():
+        idx = np.nonzero(flags.reshape(-1))[0]
+        flat = signals.reshape((-1, signals.shape[-1]))
+        _, s_w = oasis_ar1_jax(flat[idx], g=g, lam=0.0, s_min=s_min)
+        exact = (np.asarray(jax.device_get(s_w)) > threshold).astype(np.int8)
+        spikes.reshape((-1, signals.shape[-1]))[idx] = exact
+    return spikes
 
 
 def ar1_filter(spikes: jnp.ndarray, g=(0.95,), axis: int = -1) -> jnp.ndarray:

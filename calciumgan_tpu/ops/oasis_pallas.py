@@ -27,8 +27,12 @@ Replaces the external Cython ``oasisAR1`` the reference fans out over a host
   DG-like calcium ~54, dense spiking ~419, monotone ramps ~558). Lanes that
   exceed it are flagged in the same redo output.
 
-Pool reconstruction (stack -> calcium trace -> spikes) is data-parallel and
-stays in plain XLA outside the kernel.
+- **Fused reconstruction**: the stack -> (c, s) pass runs INSIDE the same
+  kernel as a backward time replay (current pool pinned at stack row 0,
+  lane-masked pops), so one dispatch emits spikes directly. Round 2 did this
+  step in XLA outside the kernel (splat-scan + reset affine
+  ``associative_scan``) at 15-20 ms per 4096 sl2048 traces — now ~3 extra
+  VMEM rolls per timestep.
 
 Parity: same pool-adjacency algorithm as the numpy golden model
 (:mod:`calciumgan_tpu.ops.oasis_ref`, from Friedrich et al. 2017 Algorithm 1)
@@ -61,7 +65,8 @@ def default_depth(T: int) -> int:
 def _oasis_kernel(T: int, D: int, g: float, s_min: float, K: int):
     log_g = math.log(g)
 
-    def kernel(yy_ref, vs_ref, ws_ref, ls_ref, n_ref, redo_ref):
+    def kernel(yy_ref, c_ref, s_ref, redo_ref, vs_ref, ws_ref, ls_ref,
+               n_ref):
         # stacks start empty; w=1 keeps v/w finite on never-written rows
         vs_ref[:] = jnp.zeros((D, _LANES), jnp.float32)
         ws_ref[:] = jnp.ones((D, _LANES), jnp.float32)
@@ -121,68 +126,41 @@ def _oasis_kernel(T: int, D: int, g: float, s_min: float, K: int):
         n_ref[:] = jnp.zeros((1, _LANES), jnp.int32)
         redo_ref[:] = jnp.zeros((1, _LANES), jnp.int32)
         n, redo = lax.fori_loop(0, T, push, (n_ref[:], redo_ref[:]))
-        n_ref[:] = n
         redo_ref[:] = redo
 
+        # ---- fused reconstruction: backward replay of the pool stacks ----
+        # Walking time from T-1 down to 0 keeps the CURRENT pool at the
+        # FIXED stack row 0 (the design constraint that rules out per-lane
+        # sublane gathers): c_t = h0 * g^(rem-1) where rem counts down the
+        # pool's remaining length, and exhausted lanes pop via the same
+        # lane-masked roll as the merge step. Pool lengths sum to T per
+        # lane, so T iterations consume every stack exactly. Replaces the
+        # XLA splat-scan + associative_scan pass (15-20 ms per 4096 traces
+        # at sl2048, round-2 BASELINE.md) with ~3 extra rolls per timestep
+        # inside the same dispatch.
+        def recon(i, rem):
+            t = T - 1 - i
+            h0 = jnp.maximum(vs_ref[0:1, :] / ws_ref[0:1, :], 0.0)
+            decay = jnp.exp((rem - 1.0) * log_g)
+            c_ref[pl.ds(t, 1), :] = h0 * decay
+            rem = rem - 1.0
+            done = rem < 0.5
+            vs_ref[:] = jnp.where(done, jnp.roll(vs_ref[:], -1, axis=0),
+                                  vs_ref[:])
+            ws_ref[:] = jnp.where(done, jnp.roll(ws_ref[:], -1, axis=0),
+                                  ws_ref[:])
+            ls_ref[:] = jnp.where(done, jnp.roll(ls_ref[:], -1, axis=0),
+                                  ls_ref[:])
+            return jnp.where(done, ls_ref[0:1, :], rem)
+
+        lax.fori_loop(0, T, recon, ls_ref[0:1, :])
+
+        # spikes: s_t = c_t - g*c_{t-1}, s_0 = 0 (one vector pass)
+        c = c_ref[:]
+        s_ref[:] = c - g * jnp.roll(c, 1, axis=0)
+        s_ref[0:1, :] = jnp.zeros((1, _LANES), jnp.float32)
+
     return kernel
-
-
-def _stacks_to_cs(vs, ws, ls, n, T: int, g: float):
-    """Pool stacks (reversed, top at row 0) -> (c, s), data-parallel XLA.
-
-    Gather-free reconstruction: a per-element ``searchsorted`` +
-    ``take_along_axis`` version measured ~230 ms for 1024 sl2048 traces on
-    v5e — 6x the event-machine kernel itself. Instead the pool heights are
-    splatted onto the time axis at their start positions by a D-step scan of
-    one-hot accumulations, and the within-pool decay ``h * g^(t-start)``
-    becomes a *reset* affine recurrence ``c_t = a_t c_{t-1} + b_t`` with
-    ``a = 0, b = h`` at pool starts and ``a = g, b = 0`` elsewhere — one
-    log-depth ``associative_scan``, the same first-order-recurrence trick as
-    :func:`calciumgan_tpu.ops.oasis.ar1_filter`.
-    """
-    # (D, B) -> (B, D), then un-reverse: forward pool j sits at row n-1-j
-    vsT, wsT, lsT = vs.T, ws.T, ls.T
-    B, D = vsT.shape
-    j = jnp.arange(D, dtype=jnp.int32)[None, :]
-    src = jnp.clip(n[:, None] - 1 - j, 0, D - 1)
-    v = jnp.take_along_axis(vsT, src, axis=1)
-    w = jnp.take_along_axis(wsT, src, axis=1)
-    l = jnp.take_along_axis(lsT, src, axis=1)
-
-    valid = j < n[:, None]
-    l = jnp.where(valid, l, 0.0)
-    starts = jnp.cumsum(l, axis=1) - l
-    h = jnp.where(valid, jnp.maximum(v / w, 0.0), 0.0)
-    # invalid pools get an off-grid start so their one-hot row is all-zero
-    starts_i = jnp.where(valid, starts, float(T)).astype(jnp.int32)
-
-    # splat pool heights onto the time axis at their starts. A fused
-    # (B, D, T) broadcast-reduce computes the same thing but explodes XLA
-    # compile time (4 min at B=1024, unbounded at B=4096); a D-step scan of
-    # (B, T) accumulations compiles in seconds at identical runtime cost.
-    t = jnp.arange(T, dtype=jnp.int32)
-
-    def splat(acc, xs):
-        start_d, h_d = xs                              # (B,), (B,)
-        onehot = start_d[:, None] == t[None, :]        # (B, T)
-        ind, b = acc
-        return (ind | onehot, b + jnp.where(onehot, h_d[:, None], 0.0)), None
-
-    B_ = starts_i.shape[0]
-    (ind, b), _ = jax.lax.scan(
-        splat, (jnp.zeros((B_, T), bool), jnp.zeros((B_, T), jnp.float32)),
-        (starts_i.T, h.T))
-    a = jnp.where(ind, 0.0, jnp.float32(g))
-
-    def combine(lhs, rhs):
-        a1, b1 = lhs
-        a2, b2 = rhs
-        return a1 * a2, b1 * a2 + b2
-
-    _, c = jax.lax.associative_scan(combine, (a, b), axis=1)
-    s = jnp.concatenate([jnp.zeros((B, 1), c.dtype), c[:, 1:] - g * c[:, :-1]],
-                        axis=1)
-    return c, s
 
 
 @functools.partial(
@@ -226,23 +204,26 @@ def oasis_ar1_pallas(signals: jnp.ndarray, g: float = 0.95, lam: float = 0.0,
     grid = (Bp // _LANES,)
     blk = lambda r: pl.BlockSpec((r, _LANES), lambda i: (0, i),
                                  memory_space=pltpu.VMEM)
-    vs, ws, ls, n, redo = pl.pallas_call(
+    cT, sT, redo = pl.pallas_call(
         _oasis_kernel(T, D, g, s_min, merge_attempts),
         grid=grid,
         in_specs=[blk(T)],
-        out_specs=(blk(D), blk(D), blk(D), blk(1), blk(1)),
+        out_specs=(blk(T), blk(T), blk(1)),
         out_shape=(
-            jax.ShapeDtypeStruct((D, Bp), jnp.float32),
-            jax.ShapeDtypeStruct((D, Bp), jnp.float32),
-            jax.ShapeDtypeStruct((D, Bp), jnp.float32),
-            jax.ShapeDtypeStruct((1, Bp), jnp.int32),
+            jax.ShapeDtypeStruct((T, Bp), jnp.float32),
+            jax.ShapeDtypeStruct((T, Bp), jnp.float32),
             jax.ShapeDtypeStruct((1, Bp), jnp.int32),
         ),
+        scratch_shapes=[
+            pltpu.VMEM((D, _LANES), jnp.float32),
+            pltpu.VMEM((D, _LANES), jnp.float32),
+            pltpu.VMEM((D, _LANES), jnp.float32),
+            pltpu.VMEM((1, _LANES), jnp.int32),
+        ],
         interpret=interpret,
     )(yyT)
 
-    c, s = _stacks_to_cs(vs, ws, ls, n[0], T, g)
-    c, s = c[:B], s[:B]
+    c, s = cT.T[:B], sT.T[:B]
     redo = redo[0, :B].astype(jnp.bool_)
     return (c.reshape(signals.shape), s.reshape(signals.shape),
             redo.reshape(batch_shape))
