@@ -75,6 +75,9 @@ class Config:
     # 'time' mesh axis via ppermute halo exchanges (1 = off; wgan-gp +
     # calciumgan + layer_norm only — parallel/long_context.py).
     time_parallelism: int = 1
+    # Multi-slice: outer DCN mesh axis, data-parallel only (1 = single
+    # slice; see parallel/mesh.py:create_mesh and SCALING.md).
+    dcn_slices: int = 1
     # Checkpoint cadence in epochs (reference hard-codes 10, main.py:141).
     checkpoint_every: int = 10
 
@@ -137,11 +140,21 @@ class Config:
             v = getattr(self, name)
             if isinstance(v, list):
                 setattr(self, name, tuple(v))
+        # Field names the user explicitly passed on a CLI (populated by
+        # from_args); load() never clobbers these. Not a dataclass field so
+        # it stays out of hparams.json.
+        self._explicit: set = set()
 
     # ------------------------------------------------------------------
     @classmethod
     def from_args(cls, args: Any) -> "Config":
-        """Build a Config from an argparse Namespace (unknown keys -> extras)."""
+        """Build a Config from an argparse Namespace (unknown keys -> extras).
+
+        With a parser whose defaults are ``argparse.SUPPRESS`` (the eval
+        CLIs), ``vars(args)`` holds exactly the flags the user typed; those
+        are recorded so :meth:`load` can honor "eval flags always win" even
+        when the typed value equals the default
+        (reference contract: ``gan/utils/utils.py:78-84``)."""
         names = {f.name for f in dataclasses.fields(cls)}
         kwargs, extras = {}, {}
         for key, value in vars(args).items():
@@ -151,6 +164,7 @@ class Config:
                 extras[key] = value
         cfg = cls(**kwargs)
         cfg.extras.update(extras)
+        cfg._explicit = set(vars(args).keys())
         return cfg
 
     # ------------------------------------------------------------------
@@ -165,12 +179,16 @@ class Config:
 
         Multi-host: process 0 is the single writer (all processes hold the
         same config); the write is atomic so eval CLIs never read a torn
-        file."""
+        file. Must run after ``jax.distributed.initialize()`` on multi-host
+        or every process believes it is process 0 and all of them write
+        (the atomic replace makes that benign but wasteful)."""
         import jax
-        if jax.process_index() != 0:
-            return
+        # populate on every process so in-memory configs agree, THEN gate
+        # the write on chief-ness
         if self.git_hash is None:
             self.git_hash = _git_hash()
+        if jax.process_index() != 0:
+            return
         path = path or os.path.join(self.output_dir, "hparams.json")
         os.makedirs(os.path.dirname(path), exist_ok=True)
         tmp = path + ".tmp"
@@ -182,10 +200,11 @@ class Config:
         """Fill *unset* (None) fields from a saved hparams.json.
 
         Mirrors the reference's ``load_hparams`` which only sets attributes
-        the eval CLI did not already provide (``utils.py:78-84``).
-        Boolean/int fields that exist with defaults are overwritten only if
-        they still hold the dataclass default, so a training run's persisted
-        value is restored without clobbering explicit eval-CLI flags.
+        the eval CLI did not already provide (``utils.py:78-84``): fields
+        recorded in ``_explicit`` (typed on the CLI — from_args with
+        SUPPRESS-default parsers) are never overwritten, even when the typed
+        value equals the dataclass default. Other fields are filled when
+        still None or still holding the dataclass default.
         """
         path = path or os.path.join(self.output_dir, "hparams.json")
         with open(path) as f:
@@ -193,11 +212,14 @@ class Config:
         defaults = {f.name: f.default for f in dataclasses.fields(type(self))
                     if f.default is not dataclasses.MISSING}
         names = {f.name for f in dataclasses.fields(type(self))}
+        explicit = getattr(self, "_explicit", set())
         for key, value in content.items():
             if key == "extras":
                 continue
             if key not in names:
                 self.extras[key] = value
+                continue
+            if key in explicit:
                 continue
             current = getattr(self, key)
             if current is None or (key in defaults and current == defaults[key]):

@@ -28,16 +28,17 @@ from calciumgan_tpu.utils import arrays, h5
 def deconvolve_traces(traces: np.ndarray) -> np.ndarray:
     """Binary spikes for (..., T) traces.
 
-    Backend order: Pallas TPU kernel when a TPU is attached (23-56k
-    traces/s/chip at sl2048, rising with batch as the fixed dispatch cost
-    amortizes — see :mod:`calciumgan_tpu.ops.oasis_pallas`),
-    else the OpenMP C++ host kernel (~13.6k traces/s/core), else the XLA
-    while_loop path (exact but HBM-bound)."""
+    Backend order: Pallas TPU kernel when a TPU is attached (with host-side
+    redo gathering — flagged traces re-run the exact path alone, see
+    :func:`calciumgan_tpu.ops.oasis.deconvolve_signals_host`), else the
+    OpenMP C++ host kernel (~13.6k traces/s/core), else the XLA while_loop
+    path (exact but HBM-bound)."""
     from calciumgan_tpu import native
+    from calciumgan_tpu.ops.oasis import deconvolve_signals_host
     shape = traces.shape
     flat = np.ascontiguousarray(traces.reshape(-1, shape[-1]), np.float32)
     if jax.default_backend() == "tpu":
-        out = np.asarray(jax.device_get(deconvolve_signals(flat)))
+        out = deconvolve_signals_host(flat)
     else:
         out = native.deconvolve_batch(flat)
         if out is None:
@@ -53,6 +54,11 @@ def deconvolve_file(config, filename: str, chunk: int = 0) -> None:
     ``chunk`` counts trials per device dispatch (0 = auto). On TPU each
     dispatch pays a fixed launch/tunnel floor (~34 ms measured), so chunks
     are sized to ~4096 traces; host backends keep smaller chunks for memory.
+
+    Crash safety: chunks append to a ``_spikes_partial`` staging dataset
+    that is promoted to ``spikes`` only once every trial is done, so a run
+    killed mid-file resumes from the last complete chunk instead of leaving
+    a silently-truncated ``spikes`` dataset behind.
     """
     if config.verbose:
         print(f"\tDeconvolve {filename}")
@@ -61,19 +67,33 @@ def deconvolve_file(config, filename: str, chunk: int = 0) -> None:
         per_trial = max(1, int(getattr(config, "num_neurons", 1) or 1))
         target = 4096 if jax.default_backend() == "tpu" else 512
         chunk = max(1, target // per_trial)
-    for start in range(0, n, chunk):
+    staging = "_spikes_partial"
+    done = 0
+    if h5.contains(filename, staging):
+        # resume; re-do the tail chunk in case its append was torn
+        done = (h5.get_dataset_length(filename, staging) // chunk) * chunk
+        h5.truncate(filename, staging, done)
+    for start in range(done, n, chunk):
         signals = h5.get(filename, "signals", start=start,
                          stop=start + chunk)
         # NWC -> (N, C, W) so time is the trailing axis
         traces = np.transpose(signals, (0, 2, 1))
         spikes = deconvolve_traces(traces)
         h5.write(filename, {
-            "spikes": np.transpose(spikes, (0, 2, 1)).astype(np.int8)})
+            staging: np.transpose(spikes, (0, 2, 1)).astype(np.int8)})
+    h5.rename(filename, staging, "spikes")
 
 
 def ensure_spikes(config, filename: str) -> None:
-    if not h5.contains(filename, "spikes"):
-        deconvolve_file(config, filename)
+    """Deconvolve unless a COMPLETE ``spikes`` dataset already exists; a
+    short one (from a legacy run killed mid-append) is dropped and redone
+    rather than silently mis-joined against ``signals``."""
+    if h5.contains(filename, "spikes"):
+        if (h5.get_dataset_length(filename, "spikes")
+                == h5.get_dataset_length(filename, "signals")):
+            return
+        h5.delete(filename, "spikes")
+    deconvolve_file(config, filename)
 
 
 # ---------------------------------------------------------------------------
@@ -280,20 +300,22 @@ def van_rossum_metrics(config, summary, real_spikes, fake_spikes,
         print("\tComputing van-rossum distance")
 
     # heatmaps: per selected neuron, distances between real & fake trials
-    k = min(heatmap_trials, len(real_spikes), len(fake_spikes))
-    heatmaps, xticks, yticks, titles = [], [], [], []
-    for n in config.neurons:
-        D = np.asarray(jax.device_get(sm.van_rossum_distance(
-            list(real_spikes[:k, :, n]), list(fake_spikes[:k, :, n]))))
-        heatmap, rows, cols = sort_heatmap(D)
-        heatmaps.append(heatmap)
-        xticks.append(rows)
-        yticks.append(cols)
-        titles.append(f"Neuron #{n:03d}")
-    summary.plot_heatmaps_grid(
-        "van_rossum", matrix=heatmaps, xlabel="synthetic trial",
-        ylabel="recorded trial", xticklabels=xticks, yticklabels=yticks,
-        titles=titles, step=epoch, plots_per_row=config.plots_per_row)
+    # (figure-only — skipped entirely in --no_plots mode)
+    if not getattr(summary, "no_plots", False):
+        k = min(heatmap_trials, len(real_spikes), len(fake_spikes))
+        heatmaps, xticks, yticks, titles = [], [], [], []
+        for n in config.neurons:
+            D = np.asarray(jax.device_get(sm.van_rossum_distance(
+                list(real_spikes[:k, :, n]), list(fake_spikes[:k, :, n]))))
+            heatmap, rows, cols = sort_heatmap(D)
+            heatmaps.append(heatmap)
+            xticks.append(rows)
+            yticks.append(cols)
+            titles.append(f"Neuron #{n:03d}")
+        summary.plot_heatmaps_grid(
+            "van_rossum", matrix=heatmaps, xlabel="synthetic trial",
+            ylabel="recorded trial", xticklabels=xticks, yticklabels=yticks,
+            titles=titles, step=epoch, plots_per_row=config.plots_per_row)
 
     kl = _pairwise_metric(config, summary, real_spikes, fake_spikes, epoch,
                           _per_trial_upper_van_rossum, "van_rossum",
@@ -370,8 +392,9 @@ def compute_epoch_spike_metrics(config, summary, filename: str, epoch: int,
     ``real_spikes`` may be passed in to amortise loading the validation
     cache across epochs (``--all_epochs``)."""
     ensure_spikes(config, filename)
-    plot_signals(config, summary, filename, epoch, rng)
-    raster_plots(config, summary, filename, epoch)
+    if not getattr(summary, "no_plots", False):
+        plot_signals(config, summary, filename, epoch, rng)
+        raster_plots(config, summary, filename, epoch)
 
     if real_spikes is None:
         real_spikes = _load_spikes(config, config.validation_cache,

@@ -35,10 +35,34 @@ def write(filename: str, content: Dict[str, np.ndarray]) -> None:
 def overwrite(filename: str, name: str, value: np.ndarray) -> None:
     with h5py.File(filename, mode="r+") as f:
         if name not in f:
-            raise KeyError(f"{name} cannot be found")
+            raise KeyError(f"no dataset '{name}' in {filename}")
         del f[name]
         f.create_dataset(name, shape=value.shape, dtype=value.dtype,
                          data=value)
+
+
+def delete(filename: str, name: str) -> None:
+    """Drop a dataset if present (no-op when absent)."""
+    with h5py.File(filename, mode="r+") as f:
+        if name in f:
+            del f[name]
+
+
+def truncate(filename: str, name: str, length: int) -> None:
+    """Shrink a resizable dataset to ``length`` rows along dim 0."""
+    with h5py.File(filename, mode="r+") as f:
+        ds = f[name]
+        if length < ds.shape[0]:
+            ds.resize(length, axis=0)
+
+
+def rename(filename: str, src: str, dst: str) -> None:
+    """Move ``src`` to ``dst`` inside the file, replacing any existing
+    ``dst`` (used to promote a complete staging dataset in one step)."""
+    with h5py.File(filename, mode="r+") as f:
+        if dst in f:
+            del f[dst]
+        f.move(src, dst)
 
 
 def get(filename: str, name: str, neuron: Optional[int] = None,
@@ -49,7 +73,7 @@ def get(filename: str, name: str, neuron: Optional[int] = None,
     assert not (neuron is not None and trial is not None)
     with h5py.File(filename, mode="r") as f:
         if name not in f:
-            raise KeyError(f"{name} cannot be found")
+            raise KeyError(f"no dataset '{name}' in {filename}")
         ds = f[name]
         if neuron is not None:
             return ds[:, :, neuron]

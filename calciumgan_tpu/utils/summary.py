@@ -9,46 +9,38 @@ vector-plot dir), re-designed on a dependency-free event writer
 seaborn ``distplot``/positional-``JointGrid`` calls are long deprecated).
 Figures are additionally saved as PNGs under ``<logdir>/plots`` so runs are
 inspectable without TensorBoard.
+
+Rendering is decoupled from figure description: every plot method builds a
+picklable job and either renders it inline or submits it to a ``spawn``
+process pool (:mod:`calciumgan_tpu.utils.plots`), so eval CLIs overlap
+matplotlib with device compute instead of serialising behind it (the
+reference's pool fanned out metric *computation*, not plotting —
+``compute_metrics.py:45-49``). Construct with ``workers=N`` to enable the
+pool and call :meth:`close` (or :meth:`drain`) to collect the figures.
 """
 
 from __future__ import annotations
 
-import functools
-import io
 import os
 import shutil
 import threading
 from typing import Optional
 
-import matplotlib
+import numpy as np
 
-matplotlib.use("Agg")
+from calciumgan_tpu.utils import plots
+from calciumgan_tpu.utils.plots import FAKE_COLOR, FRAMERATE, REAL_COLOR
+from calciumgan_tpu.utils.tb import EventWriter
 
-import matplotlib.pyplot as plt  # noqa: E402
-import numpy as np  # noqa: E402
-
-from calciumgan_tpu.utils.tb import EventWriter  # noqa: E402
-
-# pyplot's implicit current-figure state is process-global; concurrent
-# sweep experiments (search.py --parallel) must serialise their plotting
+# matplotlib rcParams are process-global; concurrent sweep experiments
+# (search.py --parallel) serialise their inline rendering
 _PLT_LOCK = threading.RLock()
-
-
-def _locked(fn):
-    @functools.wraps(fn)
-    def wrapper(*args, **kwargs):
-        with _PLT_LOCK:
-            return fn(*args, **kwargs)
-    return wrapper
-
-REAL_COLOR = "dodgerblue"
-FAKE_COLOR = "orangered"
-FRAMERATE = 24  # Hz, reference summary_helper.py:66
 
 
 class Summary:
 
-    def __init__(self, config, spike_metrics: bool = False):
+    def __init__(self, config, spike_metrics: bool = False,
+                 workers: int = 0, no_plots: bool = False):
         self._config = config
         self.spike_metrics = spike_metrics
         self.dpi = getattr(config, "dpi", 120)
@@ -56,6 +48,10 @@ class Summary:
         self.real_color = REAL_COLOR
         self.fake_color = FAKE_COLOR
         self._plot_weights = getattr(config, "plot_weights", False)
+        self.no_plots = no_plots
+        self._workers = max(0, int(workers))
+        self._pool = None
+        self._pending = []
 
         # multi-host: TensorBoard chief-only writes — non-zero processes
         # would race on event filenames (same host + second) and duplicate
@@ -79,9 +75,7 @@ class Summary:
                 self.val_writer = EventWriter(
                     os.path.join(config.output_dir, "validation"))
 
-        for k, v in (("xtick", 12), ("ytick", 12), ("legend", 12)):
-            plt.rc(k, **{"labelsize" if k != "legend" else "fontsize": v})
-        plt.rc("axes", titlesize=14, labelsize=14)
+        plots._ensure_rc()
 
     # ------------------------------------------------------------------
     def _writer(self, training: bool) -> EventWriter:
@@ -102,6 +96,7 @@ class Summary:
     def flush(self):
         if self._noop:
             return
+        self.drain()
         if self.spike_metrics:
             self.metrics_writer.flush()
         else:
@@ -109,45 +104,62 @@ class Summary:
             self.val_writer.flush()
 
     # ------------------------------------------------------------------
-    def _emit_figure(self, tag, step, training):
-        """Finalise plt's current figure: PNG -> event file + plots dir,
-        optional vector copy for the metrics mode."""
-        if self._noop:
-            plt.close(plt.gcf())
-            return
-        import warnings as _warnings
-        with _warnings.catch_warnings():
-            # gridspec figures (raster plot) are not tight_layout-compatible
-            _warnings.simplefilter("ignore", UserWarning)
-            plt.tight_layout()
-        fig = plt.gcf()
-        buf = io.BytesIO()
-        fig.savefig(buf, dpi=90, format="png", facecolor="white")
-        png = buf.getvalue()
-        w, h = fig.canvas.get_width_height()
-        writer = self._writer(training)
-        writer.image(f"{tag}/image/0", png, height=h, width=w, step=step)
-
+    # figure dispatch
+    # ------------------------------------------------------------------
+    def _meta(self, tag, step, training):
         logdir = (self._metrics_dir if self.spike_metrics else
                   (self._config.output_dir if training else
                    os.path.join(self._config.output_dir, "validation")))
-        plots_dir = os.path.join(logdir, "plots")
-        os.makedirs(plots_dir, exist_ok=True)
         safe = tag.replace("/", "_")
-        fig.savefig(os.path.join(plots_dir, f"{safe}_step{step:06d}.png"),
-                    dpi=self.dpi, format="png", facecolor="white")
+        meta = {"dpi": self.dpi,
+                "png_path": os.path.join(logdir, "plots",
+                                         f"{safe}_step{step:06d}.png")}
         if self.spike_metrics:
-            fig.savefig(os.path.join(self._vector_dir, f"{safe}.{self.format}"),
-                        dpi=self.dpi, format=self.format)
-        plt.close(fig)
+            meta["vector_path"] = os.path.join(self._vector_dir,
+                                               f"{safe}.{self.format}")
+            meta["vector_format"] = self.format
+        return meta
 
-    @staticmethod
-    def _despine(ax):
-        ax.spines["top"].set_visible(False)
-        ax.spines["right"].set_visible(False)
+    def _dispatch(self, kind, payload, tag, step, training):
+        if self._noop or self.no_plots:
+            return
+        meta = self._meta(tag, step, training)
+        if self._workers:
+            if self._pool is None:
+                import multiprocessing
+                from concurrent.futures import ProcessPoolExecutor
+                # spawn: workers import only plots.py's matplotlib/numpy and
+                # never inherit the parent's JAX/TPU client state
+                self._pool = ProcessPoolExecutor(
+                    max_workers=self._workers,
+                    mp_context=multiprocessing.get_context("spawn"))
+            fut = self._pool.submit(plots.render_and_save, kind, payload,
+                                    meta)
+            self._pending.append((fut, tag, step, training))
+        else:
+            with _PLT_LOCK:
+                result = plots.render_and_save(kind, payload, meta)
+            self._write_image(result, tag, step, training)
+
+    def _write_image(self, result, tag, step, training):
+        png, w, h = result
+        self._writer(training).image(f"{tag}/image/0", png, height=h,
+                                     width=w, step=step)
+
+    def drain(self):
+        """Collect every pending pooled figure into the event files."""
+        pending, self._pending = self._pending, []
+        for fut, tag, step, training in pending:
+            self._write_image(fut.result(), tag, step, training)
+
+    def close(self):
+        """Drain pooled figures, shut the pool down, flush event files."""
+        self.flush()
+        if self._pool is not None:
+            self._pool.shutdown()
+            self._pool = None
 
     # ------------------------------------------------------------------
-    @_locked
     def plot_traces(self, tag, signals, spikes, indexes, ylims=None,
                     xlabel="Time (s)", ylabel=r"$\Delta F/F$", step=0,
                     training=True, is_real=True, signal_label="signal",
@@ -156,175 +168,54 @@ class Summary:
         (parity: ``summary_helper.py:121-206``)."""
         signals, spikes = np.asarray(signals), np.asarray(spikes)
         assert signals.ndim == 2 and spikes.ndim == 2
-        num_rows = -(-len(indexes) // plots_per_row)
-        fig = plt.figure(figsize=(5 * plots_per_row, 2.5 * num_rows))
-        fig.patch.set_facecolor("white")
-        color = self.real_color if is_real else self.fake_color
+        self._dispatch("traces", dict(
+            signals=signals, spikes=spikes, indexes=list(indexes),
+            ylims=ylims, xlabel=xlabel, ylabel=ylabel, is_real=is_real,
+            signal_label=signal_label, spike_label=spike_label,
+            plots_per_row=plots_per_row), tag, step, training)
 
-        for i, neuron in enumerate(indexes):
-            ax = plt.subplot(num_rows, plots_per_row, i + 1)
-            ax.plot(signals[neuron], label=signal_label, linewidth=1,
-                    alpha=0.6, color=color)
-            ticks = np.arange(0, signals.shape[1], 200)
-            ax.set_xticks(ticks)
-            ax.set_xticklabels(ticks // self.framerate)
-            x = np.nonzero(spikes[neuron])[0]
-            fill = (ylims[neuron][0] +
-                    (ylims[neuron][1] - ylims[neuron][0]) * 0.1
-                    if ylims else 0)
-            ax.scatter(x, np.full(x.shape, fill), s=100, marker="|",
-                       linewidth=1.5, label=spike_label, color="dimgray")
-            if i == 0:
-                ax.legend(loc="upper right", ncol=1, frameon=False)
-            ax.set_title(f"Neuron #{neuron:03d}")
-            if i == len(indexes) - 1:
-                ax.set_xlabel(xlabel)
-            ax.set_ylabel(ylabel)
-            if ylims:
-                ax.set_ylim(ylims[neuron])
-            self._despine(ax)
-        self._emit_figure(tag, step, training)
-
-    @_locked
     def raster_plot(self, tag, real_spikes, fake_spikes, xlabel="",
                     ylabel="", legend_labels=None, step=0, training=True):
-        """Joint raster (trial x time scatter) with marginal histograms
-        (parity: ``summary_helper.py:208-315``), via a matplotlib gridspec
-        instead of the deprecated seaborn JointGrid API."""
-        real_x, real_y = np.nonzero(np.asarray(real_spikes))
-        fake_x, fake_y = np.nonzero(np.asarray(fake_spikes))
+        """Joint raster with marginal histograms
+        (parity: ``summary_helper.py:208-315``)."""
+        self._dispatch("raster", dict(
+            real_spikes=np.asarray(real_spikes),
+            fake_spikes=np.asarray(fake_spikes), xlabel=xlabel,
+            ylabel=ylabel, legend_labels=legend_labels), tag, step, training)
 
-        fig = plt.figure(figsize=(9, 7))
-        fig.patch.set_facecolor("white")
-        gs = fig.add_gridspec(2, 2, width_ratios=(8, 1), height_ratios=(1, 8),
-                              hspace=0.05, wspace=0.05)
-        ax = fig.add_subplot(gs[1, 0])
-        ax_mx = fig.add_subplot(gs[0, 0], sharex=ax)
-        ax_my = fig.add_subplot(gs[1, 1], sharey=ax)
-
-        ax.scatter(real_y, real_x, color=self.real_color, marker="|",
-                   linewidth=1.5, alpha=0.7, s=40)
-        ax.scatter(fake_y, fake_x, color=self.fake_color, marker="|",
-                   linewidth=1.5, alpha=0.7, s=40)
-        ax.set_xlabel(xlabel)
-        ax.set_ylabel(ylabel)
-        ax.set_ylim([-2, 104])
-        ticks = np.asarray(ax.get_xticks())
-        ax.set_xticks(ticks)  # fix the locator before relabelling
-        ax.set_xticklabels((ticks // self.framerate).astype(np.int64))
-
-        def marg(axm, real, fake, vertical):
-            if real.size + fake.size == 0:
-                return
-            kw = dict(bins=25, alpha=0.6, rwidth=0.85,
-                      orientation="horizontal" if vertical else "vertical")
-            axm.hist(real, color=self.real_color, **kw)
-            axm.hist(fake, color=self.fake_color, **kw)
-            axm.axis("off")
-
-        marg(ax_mx, real_y, fake_y, vertical=False)
-        marg(ax_my, real_x, fake_x, vertical=True)
-
-        if legend_labels is not None:
-            ax.legend(labels=legend_labels, ncol=2, frameon=True,
-                      loc=(0.02, 0.95), fancybox=True, framealpha=1)
-        self._emit_figure(tag, step, training)
-
-    @_locked
     def plot_distribution(self, tag, data, xlabel="", ylabel="", title="",
                           bins=30, step=0, training=False):
-        fig = plt.figure(figsize=(5, 4))
-        fig.patch.set_facecolor("white")
-        ax = plt.gca()
-        values = np.asarray(data).ravel()
-        values = values[np.isfinite(values)]
-        if values.size:
-            ax.hist(values, bins=bins, rwidth=0.85, color="green")
-        ax.set_xlabel(xlabel)
-        ax.set_ylabel(ylabel)
-        if title:
-            ax.set_title(title)
-        self._despine(ax)
-        self._emit_figure(tag, step, training)
+        self._dispatch("distribution", dict(
+            data=np.asarray(data), xlabel=xlabel, ylabel=ylabel,
+            title=title, bins=bins), tag, step, training)
 
-    @_locked
     def plot_histogram(self, tag, data, xlabel="", ylabel="", step=0,
                        training=False, legend_labels=None):
-        """Real-vs-fake overlaid histogram. Fixes the reference's range bug
-        (it used data[0] for both ends — ``summary_helper.py:360-366``,
+        """Real-vs-fake overlaid histogram (range bug fixed vs reference —
         SURVEY.md §2.11.4)."""
         assert isinstance(data, tuple)
-        fig = plt.figure(figsize=(12, 10))
-        fig.patch.set_facecolor("white")
-        ax = plt.gca()
-        lo = min(np.min(data[0]), np.min(data[1]))
-        hi = max(np.max(data[0]), np.max(data[1]))
-        kw = dict(bins=30, range=(lo, hi), rwidth=0.85, alpha=0.6)
-        ax.hist(data[0], color=self.real_color, label="Real", **kw)
-        ax.hist(data[1], color=self.fake_color, label="Fake", **kw)
-        if legend_labels is not None:
-            ax.legend(labels=legend_labels)
-        ax.set_xlabel(xlabel)
-        ax.set_ylabel(ylabel)
-        self._despine(ax)
-        self._emit_figure(tag, step, training)
+        self._dispatch("histogram", dict(
+            data=tuple(np.asarray(d) for d in data), xlabel=xlabel,
+            ylabel=ylabel, legend_labels=legend_labels), tag, step, training)
 
-    @_locked
     def plot_histograms_grid(self, tag, data, xlabel="", ylabel="",
                              titles=None, step=0, training=False,
                              legend_labels=None, plots_per_row=3):
         assert isinstance(data, list) and isinstance(data[0], tuple)
-        num_rows = -(-len(data) // plots_per_row)
-        fig = plt.figure(figsize=(5 * plots_per_row, 5 * num_rows))
-        fig.patch.set_facecolor("white")
-        for i, (real, fake) in enumerate(data):
-            ax = plt.subplot(num_rows, plots_per_row, i + 1)
-            real, fake = np.asarray(real), np.asarray(fake)
-            if real.size and fake.size:
-                lo = min(np.min(real), np.min(fake))
-                hi = max(np.max(real), np.max(fake))
-                kw = dict(bins=30, range=(lo, hi), rwidth=0.85, alpha=0.6)
-                ax.hist(real, color=self.real_color, label="Real", **kw)
-                ax.hist(fake, color=self.fake_color, label="Fake", **kw)
-            if i == 0 and legend_labels is not None:
-                ax.legend(labels=legend_labels, frameon=False)
-            ax.set_ylabel(ylabel)
-            if titles is not None:
-                ax.set_title(titles[i])
-            if i // plots_per_row == num_rows - 1:
-                ax.set_xlabel(xlabel)
-            self._despine(ax)
-        self._emit_figure(tag, step, training)
+        self._dispatch("histograms_grid", dict(
+            data=[tuple(np.asarray(x) for x in pair) for pair in data],
+            xlabel=xlabel, ylabel=ylabel, titles=titles,
+            legend_labels=legend_labels, plots_per_row=plots_per_row),
+            tag, step, training)
 
-    @_locked
     def plot_heatmaps_grid(self, tag, matrix, xlabel="", ylabel="",
                            xticklabels=None, yticklabels=None, titles=None,
                            step=0, training=False, plots_per_row=3):
         assert isinstance(matrix, list)
-        num_rows = -(-len(matrix) // plots_per_row)
-        fig = plt.figure(figsize=(5 * plots_per_row, 5 * num_rows))
-        fig.patch.set_facecolor("white")
-        vmax = float(np.max([np.max(m) for m in matrix]))
-        for i, m in enumerate(matrix):
-            ax = plt.subplot(num_rows, plots_per_row, i + 1)
-            im = ax.imshow(m, cmap="YlOrRd", vmin=0, vmax=vmax,
-                           aspect="auto")
-            fig.colorbar(im, ax=ax)
-            ax.set_xlabel(xlabel)
-            ax.set_ylabel(ylabel)
-            if titles is not None:
-                ax.set_title(titles[i])
-            if isinstance(xticklabels, list):
-                ticks = list(range(0, len(xticklabels[i]), 2))
-                ax.set_xticks(ticks)
-                ax.set_xticklabels([xticklabels[i][t] for t in ticks],
-                                   fontsize=12)
-            if isinstance(yticklabels, list):
-                ticks = list(range(0, len(yticklabels[i]), 2))
-                ax.set_yticks(ticks)
-                ax.set_yticklabels([yticklabels[i][t] for t in ticks],
-                                   fontsize=12)
-        self._emit_figure(tag, step, training)
+        self._dispatch("heatmaps_grid", dict(
+            matrix=[np.asarray(m) for m in matrix], xlabel=xlabel,
+            ylabel=ylabel, xticklabels=xticklabels, yticklabels=yticklabels,
+            titles=titles, plots_per_row=plots_per_row), tag, step, training)
 
     # ------------------------------------------------------------------
     def variable_summary(self, variable, name, step=0, training=True):

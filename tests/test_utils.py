@@ -161,6 +161,60 @@ def test_remove_nan():
 
 
 # ---------------------------------------------------------------------------
+# config load semantics
+# ---------------------------------------------------------------------------
+
+def test_config_load_fills_unset_and_defaults(tmp_path):
+    train_cfg = Config(output_dir=str(tmp_path), verbose=0, batch_size=128,
+                       sequence_length=2048)
+    train_cfg.save()
+    eval_cfg = Config(output_dir=str(tmp_path))
+    eval_cfg.load()
+    # None fields and default-holding fields are filled from the file
+    assert eval_cfg.sequence_length == 2048
+    assert eval_cfg.batch_size == 128
+    assert eval_cfg.verbose == 0
+
+
+def test_config_load_never_clobbers_explicit_cli_flags(tmp_path):
+    """Eval flags always win — even when the typed value equals the default
+    (reference contract: gan/utils/utils.py:78-84)."""
+    import argparse
+    train_cfg = Config(output_dir=str(tmp_path), verbose=0, dpi=300)
+    train_cfg.save()
+
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--output_dir", default=argparse.SUPPRESS)
+    parser.add_argument("--verbose", default=argparse.SUPPRESS, type=int)
+    parser.add_argument("--dpi", default=argparse.SUPPRESS, type=int)
+    # user explicitly types --verbose 1 (the dataclass default!)
+    args = parser.parse_args(
+        ["--output_dir", str(tmp_path), "--verbose", "1"])
+    cfg = Config.from_args(args)
+    cfg.load()
+    assert cfg.verbose == 1      # explicit flag survives
+    assert cfg.dpi == 300        # untyped flag restored from the run
+
+
+# ---------------------------------------------------------------------------
+# h5 staging helpers
+# ---------------------------------------------------------------------------
+
+def test_h5_delete_truncate_rename(tmp_path):
+    path = str(tmp_path / "x.h5")
+    a = np.arange(24, dtype=np.float32).reshape(6, 4)
+    h5.write(path, {"stage": a, "old": a[:2]})
+    h5.truncate(path, "stage", 4)
+    assert h5.get_dataset_length(path, "stage") == 4
+    h5.rename(path, "stage", "old")  # replaces existing dst
+    np.testing.assert_array_equal(h5.get(path, "old"), a[:4])
+    assert not h5.contains(path, "stage")
+    h5.delete(path, "old")
+    assert not h5.contains(path, "old")
+    h5.delete(path, "old")  # no-op when absent
+
+
+# ---------------------------------------------------------------------------
 # summary plots (smoke: files are produced and parse as events)
 # ---------------------------------------------------------------------------
 
@@ -183,6 +237,39 @@ def test_summary_plots_smoke(tmp_path):
     s.flush()
     assert glob.glob(os.path.join(cfg.output_dir, "events.out.tfevents.*"))
     assert glob.glob(os.path.join(cfg.output_dir, "plots", "*.png"))
+
+
+def test_summary_pool_mode_renders_figures(tmp_path):
+    """workers>0 renders in a spawn pool; close() collects every figure."""
+    cfg = Config(output_dir=str(tmp_path / "run"), dpi=60)
+    os.makedirs(cfg.output_dir, exist_ok=True)
+    s = Summary(cfg, spike_metrics=True, workers=2)
+    rng = np.random.default_rng(0)
+    s.plot_distribution("dist_a", rng.uniform(size=50), step=1)
+    s.plot_histograms_grid("grid", [(rng.normal(size=20),
+                                     rng.normal(size=20))] * 2,
+                           titles=["a", "b"], step=1)
+    s.scalar("kl", 0.5, step=1)
+    s.close()
+    plots_dir = os.path.join(cfg.output_dir, "metrics", "plots")
+    names = {p.split("_step")[0] for p in os.listdir(plots_dir)
+             if p.endswith(".png")}
+    assert {"dist_a", "grid"} <= names
+    # vector sidecars too
+    assert os.path.exists(os.path.join(plots_dir, "dist_a.pdf"))
+
+
+def test_summary_no_plots_mode(tmp_path):
+    cfg = Config(output_dir=str(tmp_path / "run"), dpi=60)
+    os.makedirs(cfg.output_dir, exist_ok=True)
+    s = Summary(cfg, spike_metrics=True, no_plots=True)
+    s.plot_distribution("dist", np.random.default_rng(0).uniform(size=50))
+    s.scalar("kl", 0.5, step=1)
+    s.close()
+    assert not glob.glob(
+        os.path.join(cfg.output_dir, "metrics", "plots", "*.png"))
+    assert glob.glob(
+        os.path.join(cfg.output_dir, "metrics", "events.out.tfevents.*"))
 
 
 def test_summary_metrics_mode(tmp_path):
