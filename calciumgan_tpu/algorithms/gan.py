@@ -24,12 +24,14 @@ from calciumgan_tpu.algorithms.state import GANState, NetState, make_net_state
 from calciumgan_tpu.ops import signal_metrics
 
 
-def bce_with_logits(logits: jnp.ndarray, label: int) -> jnp.ndarray:
-    """Keras BinaryCrossentropy(from_logits=True) against a constant label."""
+def bce_with_logits(logits: jnp.ndarray, label: int,
+                    mask=None) -> jnp.ndarray:
+    """Keras BinaryCrossentropy(from_logits=True) against a constant label.
+    A (B,) ``mask`` zero-weights padded validation rows (exact tail-batch
+    reduction)."""
     logits = logits.astype(jnp.float32)
-    if label == 1:
-        return jnp.mean(nn.softplus(-logits))
-    return jnp.mean(nn.softplus(logits))
+    per = nn.softplus(-logits) if label == 1 else nn.softplus(logits)
+    return signal_metrics.batch_weighted_mean(per, mask)
 
 
 @register("gan")
@@ -76,9 +78,9 @@ class GAN:
             return x
         return x * (self.signals_max - self.signals_min) + self.signals_min
 
-    def metrics(self, real, fake) -> dict:
+    def metrics(self, real, fake, mask=None) -> dict:
         return signal_metrics.all_signal_metrics(
-            self.denormalize(real), self.denormalize(fake))
+            self.denormalize(real), self.denormalize(fake), mask)
 
     # ---- module application helpers ----------------------------------
     def gen_apply(self, params, batch_stats, noise, key, training: bool):
@@ -112,16 +114,16 @@ class GAN:
         return out, batch_stats
 
     # ---- losses -------------------------------------------------------
-    def generator_loss(self, fake_output):
-        return bce_with_logits(fake_output, 1)
+    def generator_loss(self, fake_output, mask=None):
+        return bce_with_logits(fake_output, 1, mask)
 
-    def discriminator_loss(self, real_output, fake_output):
-        return (bce_with_logits(real_output, 1) +
-                bce_with_logits(fake_output, 0))
+    def discriminator_loss(self, real_output, fake_output, mask=None):
+        return (bce_with_logits(real_output, 1, mask) +
+                bce_with_logits(fake_output, 0, mask))
 
     # ---- steps --------------------------------------------------------
     def _forward(self, gparams, dparams, state: GANState, real, key,
-                 training: bool):
+                 training: bool, mask=None):
         """One shared forward pass; deterministic in ``key`` so the two
         gradient evaluations see identical randomness (and XLA CSEs them).
         Real and fake ride ONE discriminator pass (concatenated batch) for
@@ -135,8 +137,8 @@ class GAN:
         out, dis_bs = self.dis_apply(
             dparams, state.discriminator.batch_stats, both, k_both, training)
         real_out, fake_out = out[:real.shape[0]], out[real.shape[0]:]
-        gen_loss = self.generator_loss(fake_out)
-        dis_loss = self.discriminator_loss(real_out, fake_out)
+        gen_loss = self.generator_loss(fake_out, mask)
+        dis_loss = self.discriminator_loss(real_out, fake_out, mask)
         return gen_loss, dis_loss, fake, gen_bs, dis_bs
 
     def train_step(self, state: GANState, real, key) -> Tuple[GANState, dict]:
@@ -164,12 +166,14 @@ class GAN:
         logs.update(self.metrics(real, fake))
         return GANState(generator=new_gen, discriminator=new_dis), logs
 
-    def eval_step(self, state: GANState, real, key):
+    def eval_step(self, state: GANState, real, key, mask=None):
+        """``mask`` (B,) zero-weights padded tail-batch rows so every logged
+        mean reduces exactly over the real rows (None = all rows real)."""
         gen_loss, dis_loss, fake, _, _ = self._forward(
             state.generator.params, state.discriminator.params, state, real,
-            key, False)
+            key, False, mask=mask)
         logs = {"loss/generator": gen_loss, "loss/discriminator": dis_loss}
-        logs.update(self.metrics(real, fake))
+        logs.update(self.metrics(real, fake, mask))
         return fake, logs
 
     def generate(self, state: GANState, noise, key=None, denorm: bool = False):

@@ -31,6 +31,7 @@ from jax import lax
 from calciumgan_tpu.algorithms.gan import GAN, _apply_updates
 from calciumgan_tpu.algorithms.registry import register
 from calciumgan_tpu.algorithms.state import GANState
+from calciumgan_tpu.ops import signal_metrics
 
 
 @register("wgan-gp")
@@ -45,12 +46,15 @@ class WGAN_GP(GAN):
         self.unroll_critic = bool(getattr(config, "unroll_critic", False))
 
     # ---- losses -------------------------------------------------------
-    def generator_loss(self, fake_output):
-        return -jnp.mean(fake_output.astype(jnp.float32))
+    def generator_loss(self, fake_output, mask=None):
+        return -signal_metrics.batch_weighted_mean(
+            fake_output.astype(jnp.float32), mask)
 
-    def wasserstein_dis_loss(self, real_output, fake_output):
-        return (-jnp.mean(real_output.astype(jnp.float32)) +
-                jnp.mean(fake_output.astype(jnp.float32)))
+    def wasserstein_dis_loss(self, real_output, fake_output, mask=None):
+        return (-signal_metrics.batch_weighted_mean(
+                    real_output.astype(jnp.float32), mask) +
+                signal_metrics.batch_weighted_mean(
+                    fake_output.astype(jnp.float32), mask))
 
     def interpolate(self, key, real, fake):
         alpha_shape = (real.shape[0],) + (1,) * (real.ndim - 1)
@@ -58,7 +62,7 @@ class WGAN_GP(GAN):
         return alpha * real + (1.0 - alpha) * fake
 
     def gradient_penalty(self, dparams, batch_stats, key, real, fake,
-                         training: bool):
+                         training: bool, mask=None):
         k_alpha, k_phase = jax.random.split(key)
         x_hat = self.interpolate(k_alpha, real,
                                  lax.stop_gradient(fake).astype(real.dtype))
@@ -72,7 +76,8 @@ class WGAN_GP(GAN):
         norm = jnp.sqrt(
             jnp.sum(jnp.square(grad.reshape(grad.shape[0], -1)), axis=1)
             + 1e-12)
-        return jnp.mean(jnp.square(norm - 1.0))
+        return signal_metrics.batch_weighted_mean(
+            jnp.square(norm - 1.0), mask)
 
     # ---- steps --------------------------------------------------------
     def train_step(self, state: GANState, real, key) -> Tuple[GANState, dict]:
@@ -135,7 +140,9 @@ class WGAN_GP(GAN):
         logs.update(self.metrics(real, fake))
         return GANState(generator=gen_net, discriminator=dis_net), logs
 
-    def eval_step(self, state: GANState, real, key):
+    def eval_step(self, state: GANState, real, key, mask=None):
+        """``mask`` (B,) zero-weights padded tail-batch rows so every logged
+        mean reduces exactly over the real rows (None = all rows real)."""
         k_noise, k_gen, k_real, k_fake, k_gp = jax.random.split(key, 5)
         noise = self.get_noise(k_noise, real.shape[0])
         fake, _ = self.gen_apply(
@@ -149,13 +156,13 @@ class WGAN_GP(GAN):
             fake, k_fake, False)
         gp = self.gradient_penalty(
             state.discriminator.params, state.discriminator.batch_stats,
-            k_gp, real, fake, False)
+            k_gp, real, fake, False, mask=mask)
         logs = {
-            "loss/generator": self.generator_loss(fake_out),
+            "loss/generator": self.generator_loss(fake_out, mask),
             "loss/discriminator":
-                self.wasserstein_dis_loss(real_out, fake_out)
+                self.wasserstein_dis_loss(real_out, fake_out, mask)
                 + self.penalty * gp,
             "loss/gradient_penalty": gp,
         }
-        logs.update(self.metrics(real, fake))
+        logs.update(self.metrics(real, fake, mask))
         return fake, logs

@@ -16,28 +16,46 @@ import jax.numpy as jnp
 _EPS = 1e-7
 
 
-def kl_divergence(real: jnp.ndarray, fake: jnp.ndarray) -> jnp.ndarray:
+def batch_weighted_mean(x: jnp.ndarray, mask=None) -> jnp.ndarray:
+    """Mean of ``x`` with optional per-row (dim 0) weights.
+
+    ``mask=None`` is a plain mean; a (B,) mask makes padded validation rows
+    weightless so tail batches reduce exactly over their real rows."""
+    if mask is None:
+        return jnp.mean(x)
+    w = mask.reshape((mask.shape[0],) + (1,) * (x.ndim - 1))
+    w = w.astype(jnp.float32)
+    per_row = x.size // x.shape[0]
+    return jnp.sum(x.astype(jnp.float32) * w) / (jnp.sum(w) * per_row)
+
+
+def kl_divergence(real: jnp.ndarray, fake: jnp.ndarray,
+                  mask=None) -> jnp.ndarray:
     """Keras KLD semantics: sum over last axis of y_true*log(y_true/y_pred),
     clipped to [eps, 1], then mean."""
     p = jnp.clip(real, _EPS, 1.0)
     q = jnp.clip(fake, _EPS, 1.0)
-    return jnp.mean(jnp.sum(p * jnp.log(p / q), axis=-1))
+    return batch_weighted_mean(jnp.sum(p * jnp.log(p / q), axis=-1), mask)
 
 
-def min_signals_error(real, fake):
-    return jnp.mean(jnp.square(jnp.min(real, -1) - jnp.min(fake, -1)))
+def min_signals_error(real, fake, mask=None):
+    return batch_weighted_mean(
+        jnp.square(jnp.min(real, -1) - jnp.min(fake, -1)), mask)
 
 
-def max_signals_error(real, fake):
-    return jnp.mean(jnp.square(jnp.max(real, -1) - jnp.max(fake, -1)))
+def max_signals_error(real, fake, mask=None):
+    return batch_weighted_mean(
+        jnp.square(jnp.max(real, -1) - jnp.max(fake, -1)), mask)
 
 
-def mean_signals_error(real, fake):
-    return jnp.mean(jnp.square(jnp.mean(real, -1) - jnp.mean(fake, -1)))
+def mean_signals_error(real, fake, mask=None):
+    return batch_weighted_mean(
+        jnp.square(jnp.mean(real, -1) - jnp.mean(fake, -1)), mask)
 
 
-def std_signals_error(real, fake):
-    return jnp.mean(jnp.square(jnp.std(real, -1) - jnp.std(fake, -1)))
+def std_signals_error(real, fake, mask=None):
+    return batch_weighted_mean(
+        jnp.square(jnp.std(real, -1) - jnp.std(fake, -1)), mask)
 
 
 def cross_correlation(real: jnp.ndarray, fake: jnp.ndarray) -> jnp.ndarray:
@@ -52,11 +70,11 @@ def cross_correlation(real: jnp.ndarray, fake: jnp.ndarray) -> jnp.ndarray:
     return jnp.mean(num / (den + _EPS))
 
 
-def all_signal_metrics(real, fake) -> dict:
+def all_signal_metrics(real, fake, mask=None) -> dict:
     """The metric dict logged per step (reference gan.py:32-41)."""
     return {
-        "signals_metrics/min": min_signals_error(real, fake),
-        "signals_metrics/max": max_signals_error(real, fake),
-        "signals_metrics/mean": mean_signals_error(real, fake),
-        "signals_metrics/std": std_signals_error(real, fake),
+        "signals_metrics/min": min_signals_error(real, fake, mask),
+        "signals_metrics/max": max_signals_error(real, fake, mask),
+        "signals_metrics/mean": mean_signals_error(real, fake, mask),
+        "signals_metrics/std": std_signals_error(real, fake, mask),
     }
