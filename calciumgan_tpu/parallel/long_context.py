@@ -68,12 +68,17 @@ class LongContextWGAN_GP(WGAN_GP):
         self.strides = int(config.strides)
         self.m = int(config.m)
         self.activation = config.activation
+        # match the flax modules' compute-dtype policy
+        # (models/calciumgan.py:91) so --mixed_precision stays bf16 here
+        import jax.numpy as jnp
+        self.compute_dtype = (jnp.bfloat16 if config.mixed_precision
+                              else jnp.float32)
 
     def gen_apply(self, params, batch_stats, noise, key, training: bool):
         fake = seq_parallel_generator(
             params, noise, self.mesh, TIME_AXIS, strides=self.strides,
             activation=self.activation, normalize=self.normalize,
-            batch_axis=DATA_AXIS)
+            batch_axis=DATA_AXIS, dtype=self.compute_dtype)
         return fake, batch_stats
 
     def dis_apply(self, params, batch_stats, x, key, training: bool):
@@ -85,7 +90,7 @@ class LongContextWGAN_GP(WGAN_GP):
         out = seq_parallel_discriminator(
             params, x, phase_keys, self.mesh, TIME_AXIS,
             strides=self.strides, m=self.m, activation=self.activation,
-            batch_axis=DATA_AXIS)
+            batch_axis=DATA_AXIS, dtype=self.compute_dtype)
         return out, batch_stats
 
 
@@ -120,7 +125,8 @@ def make_long_context_algorithm(config, mesh: Optional[Mesh] = None,
                     out_shardings=(rep, rep),
                     donate_argnums=(0,))
     evaluate = jax.jit(algo.eval_step,
-                       in_shardings=(rep, data_in, rep),
+                       in_shardings=(rep, data_in, rep,
+                                     NamedSharding(mesh, P(DATA_AXIS))),
                        out_shardings=(data_in, rep))
     generate = jax.jit(
         lambda state, noise, key: algo.generate(state, noise, key,

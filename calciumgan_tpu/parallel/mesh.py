@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import functools
 from typing import Any, Optional, Sequence
 
 import jax
@@ -11,27 +12,51 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
 MODEL_AXIS = "model"
+SLICE_AXIS = "slice"
 
 
 def create_mesh(data_parallelism: int = -1, model_parallelism: int = 1,
-                devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
-    """2-D (data, model) mesh; model axis is 1 unless model sharding is on.
+                devices: Optional[Sequence[jax.Device]] = None,
+                slices: int = 1) -> Mesh:
+    """(data, model) mesh, optionally with an outer DCN ``slice`` axis.
 
-    ``data_parallelism=-1`` uses every visible device.
+    ``data_parallelism=-1`` uses every visible device. ``slices > 1``
+    prepends a 'slice' axis restricted to DATA parallelism (SCALING.md
+    "Multi-slice"): the batch shards over (slice, data) jointly, params
+    stay replicated, and the only cross-slice traffic is the per-step
+    gradient all-reduce — the standard multi-slice recipe when the
+    inter-slice link (DCN) is an order of magnitude slower than ICI.
+    Model sharding never crosses the slice boundary.
     """
     devices = list(devices if devices is not None else jax.devices())
+    if slices > 1 and len(devices) % slices:
+        raise ValueError(
+            f"{len(devices)} devices not divisible by {slices} slices")
+    per_slice = len(devices) // slices
     if data_parallelism == -1:
-        if len(devices) % model_parallelism:
+        if per_slice % model_parallelism:
             raise ValueError(
-                f"{len(devices)} devices not divisible by model_parallelism "
-                f"{model_parallelism}")
-        data_parallelism = len(devices) // model_parallelism
-    n = data_parallelism * model_parallelism
+                f"{per_slice} devices/slice not divisible by "
+                f"model_parallelism {model_parallelism}")
+        data_parallelism = per_slice // model_parallelism
+    n = slices * data_parallelism * model_parallelism
     if n > len(devices):
         raise ValueError(f"mesh needs {n} devices, have {len(devices)}")
+    if slices > 1:
+        mesh_devices = np.array(devices[:n]).reshape(
+            (slices, data_parallelism, model_parallelism))
+        return Mesh(mesh_devices, (SLICE_AXIS, DATA_AXIS, MODEL_AXIS))
     mesh_devices = mesh_utils.create_device_mesh(
         (data_parallelism, model_parallelism), devices=devices[:n])
     return Mesh(mesh_devices, (DATA_AXIS, MODEL_AXIS))
+
+
+def data_extent(mesh: Mesh) -> int:
+    """Total batch-sharding width: data axis times any outer slice axis."""
+    n = mesh.shape[DATA_AXIS]
+    if SLICE_AXIS in mesh.axis_names:
+        n *= mesh.shape[SLICE_AXIS]
+    return n
 
 
 def replicated(mesh: Mesh) -> NamedSharding:
@@ -39,12 +64,15 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def batch_sharding(mesh: Mesh, ndim: int) -> NamedSharding:
-    """Shard dim 0 (batch) over the data axis; on a long-context mesh the
-    sequence dim (axis 1 of NWC signals) additionally shards over 'time'."""
+    """Shard dim 0 (batch) over the data axis (jointly with the DCN slice
+    axis when present); on a long-context mesh the sequence dim (axis 1 of
+    NWC signals) additionally shards over 'time'."""
     rest = [None] * (ndim - 1)
     if "time" in mesh.axis_names and ndim >= 3:
         rest[0] = "time"
-    return NamedSharding(mesh, P(DATA_AXIS, *rest))
+    batch_axes = ((SLICE_AXIS, DATA_AXIS)
+                  if SLICE_AXIS in mesh.axis_names else DATA_AXIS)
+    return NamedSharding(mesh, P(batch_axes, *rest))
 
 
 # ---------------------------------------------------------------------------
@@ -100,20 +128,6 @@ def make_step_fns(algo, mesh: Mesh, state: Any):
     replicated so phase-shuffle shifts are replica-identical, matching the
     reference's one-shift-per-batch semantics (SURVEY.md §7).
     """
-    if mesh.shape[MODEL_AXIS] > 1:
-        # Shardy (the default partitioner in jax 0.9) miscompiles the
-        # WGAN-GP step under model parallelism: with a model-sharded
-        # discriminator carried through the lax.scan critic loop, the
-        # combination of second-order autodiff (gradient penalty) and the
-        # optimizer update inside the scan body makes every batch reduction
-        # in the discriminator's forward come out exactly data_axis_size
-        # times too large (an extra all-reduce over 'data' on an
-        # already-replicated sum). Classic GSPMD partitions the identical
-        # program correctly, so fall back to it whenever the model axis is
-        # real. Regression: tests/test_algorithms.py
-        # test_model_parallel_mesh_runs.
-        jax.config.update("jax_use_shardy_partitioner", False)
-
     ss = state_shardings(mesh, state)
     rep = replicated(mesh)
     ndim = len(algo.signal_shape) + 1
@@ -125,9 +139,10 @@ def make_step_fns(algo, mesh: Mesh, state: Any):
         out_shardings=(ss, rep),
         donate_argnums=(0,))
 
+    # eval takes a (B,) row mask so padded tail batches reduce exactly
     evaluate = jax.jit(
         algo.eval_step,
-        in_shardings=(ss, data_in, rep),
+        in_shardings=(ss, data_in, rep, batch_sharding(mesh, 1)),
         out_shardings=(data_in, rep))
 
     generate = jax.jit(
@@ -135,6 +150,39 @@ def make_step_fns(algo, mesh: Mesh, state: Any):
                                                 denorm=False),
         in_shardings=(ss, batch_sharding(mesh, 2), rep),
         out_shardings=data_in)
+
+    if mesh.shape[MODEL_AXIS] > 1:
+        # Shardy (the default partitioner in jax 0.9) miscompiles the
+        # model-parallel WGAN-GP TRAIN step: when the critic gradient
+        # (second-order, through the gradient penalty) feeds an optax
+        # update and a further forward through the UPDATED model-sharded
+        # discriminator runs in the same jit, every batch mean downstream
+        # of the update comes out exactly data_axis_size times too large.
+        # Bisect (tools/repro_shardy_full.py, run at lr=0 so updates are
+        # value-no-ops): eval_step is clean; the scan vs unrolled critic,
+        # donation, generator, and phase shuffle are all irrelevant; the
+        # trigger is {GP-bearing critic grad} + {optax update} +
+        # {post-update forward} in one program, and it survives only with
+        # the full flax conv stack (a distilled conv+head+adam+GP toy
+        # partitions correctly). Classic GSPMD compiles the identical
+        # program correctly, so each step function runs under a
+        # THREAD-LOCAL GSPMD scope (compilation happens inside the first
+        # call, so the scope covers tracing + partitioning; concurrent
+        # search.py --parallel threads with model_par == 1 meshes are
+        # unaffected). Regression: tests/test_algorithms.py
+        # test_model_parallel_mesh_runs.
+        from jax._src import config as _jax_config
+
+        def _gspmd_scoped(fn):
+            @functools.wraps(fn)
+            def wrapper(*args, **kwargs):
+                with _jax_config.use_shardy_partitioner(False):
+                    return fn(*args, **kwargs)
+            return wrapper
+
+        train = _gspmd_scoped(train)
+        evaluate = _gspmd_scoped(evaluate)
+        generate = _gspmd_scoped(generate)
 
     return train, evaluate, generate
 
@@ -167,15 +215,30 @@ def put_batch(mesh: Mesh, a: np.ndarray):
 
 def local_rows(array) -> np.ndarray:
     """This process's rows of a batch-sharded global array (row order
-    preserved, model-axis replicas dropped). Single host: the whole array."""
+    preserved, replicas dropped). Single host: the whole array.
+
+    Handles 2-D shardings too (the long-context ``P('data','time',None)``
+    layout): shards are reassembled by their global index slices into this
+    process's contiguous row block, so time-sharded outputs come back as
+    complete sequences."""
     if jax.process_count() == 1:
         return np.asarray(jax.device_get(array))
-    # keep one copy per distinct row range: devices along the model axis
-    # hold identical data (replica_id > 0)
+    # one copy per distinct index block: replica_id > 0 shards hold
+    # identical data (e.g. devices along the model axis)
     shards = [s for s in array.addressable_shards if s.replica_id == 0]
-    shards.sort(key=lambda s: s.index[0].start or 0)
-    return np.concatenate([np.asarray(jax.device_get(s.data))
-                           for s in shards], axis=0)
+    row_start = min((s.index[0].start or 0) for s in shards)
+    row_stop = max((s.index[0].stop if s.index[0].stop is not None
+                    else array.shape[0]) for s in shards)
+    out = np.empty((row_stop - row_start,) + array.shape[1:],
+                   dtype=array.dtype)
+    for s in shards:
+        idx = list(s.index)
+        r = idx[0]
+        rows = slice((r.start or 0) - row_start,
+                     (r.stop if r.stop is not None else array.shape[0])
+                     - row_start)
+        out[(rows,) + tuple(idx[1:])] = np.asarray(jax.device_get(s.data))
+    return out
 
 
 def shard_batch(mesh: Mesh, *arrays):

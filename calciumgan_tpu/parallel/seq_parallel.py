@@ -63,7 +63,8 @@ def halo_phase_shuffle_local(x_local: jnp.ndarray, key: jax.Array, m: int,
 def seq_parallel_discriminator(params, x, phase_keys, mesh: Mesh, axis: str,
                                *, strides: int, m: int,
                                activation: str = "leakyrelu",
-                               batch_axis: str | None = None):
+                               batch_axis: str | None = None,
+                               dtype=jnp.float32):
     """Discriminator forward over a time-sharded batch.
 
     Args:
@@ -73,6 +74,9 @@ def seq_parallel_discriminator(params, x, phase_keys, mesh: Mesh, axis: str,
         phase_keys: one replicated PRNG key per shuffled layer (4 entries),
             or None for m=0 / eval.
         mesh, axis: the mesh and its time axis.
+        dtype: compute dtype — mirrors flax's module ``dtype`` (params stay
+            f32, inputs + params are cast before each matmul/conv so the
+            bf16 mixed-precision recipe hits the MXU here too).
 
     Returns:
         (B, 1) float32 critic scores, replicated.
@@ -82,12 +86,12 @@ def seq_parallel_discriminator(params, x, phase_keys, mesh: Mesh, axis: str,
     keys = list(phase_keys) if phase_keys is not None else [None] * 4
 
     def local(x_local, params):
-        h = x_local
+        h = x_local.astype(dtype)
         for i in range(5):
             layer = params[f"Conv_{i}"]
-            h = halo_conv1d_local(h, layer["kernel"], strides, axis,
-                                  n_shards)
-            h = h + layer["bias"]
+            h = halo_conv1d_local(h, layer["kernel"].astype(dtype), strides,
+                                  axis, n_shards)
+            h = h + layer["bias"].astype(dtype)
             h = act(h)
             if i < 4 and m > 0 and keys[i] is not None:
                 h = halo_phase_shuffle_local(h, keys[i], m, axis, n_shards)
@@ -99,8 +103,8 @@ def seq_parallel_discriminator(params, x, phase_keys, mesh: Mesh, axis: str,
         idx = lax.axis_index(axis)
         k_slice = lax.dynamic_slice(
             head["kernel"], (idx * Ws * C, 0), (Ws * C, 1))
-        partial = flat @ k_slice
-        out = lax.psum(partial, axis) + head["bias"]
+        partial = flat @ k_slice.astype(dtype)
+        out = lax.psum(partial, axis) + head["bias"].astype(dtype)
         return out.astype(jnp.float32)  # (B_local, 1); batch stays sharded
 
     return jax.shard_map(
@@ -113,7 +117,8 @@ def seq_parallel_discriminator(params, x, phase_keys, mesh: Mesh, axis: str,
 def seq_parallel_generator(params, z, mesh: Mesh, axis: str, *,
                            strides: int, activation: str = "leakyrelu",
                            normalize: bool = True,
-                           batch_axis: str | None = None):
+                           batch_axis: str | None = None,
+                           dtype=jnp.float32):
     """Generator forward producing a TIME-SHARDED (B, W, C) signal.
 
     The flax ``Generator`` (``models/calciumgan.py:31-64``) maps noise ->
@@ -129,6 +134,9 @@ def seq_parallel_generator(params, z, mesh: Mesh, axis: str, *,
     Args:
         params: the flax ``Generator`` param dict, replicated.
         z: (B, noise_dim), replicated.
+        dtype: compute dtype (flax ``dtype`` semantics: params stored f32,
+            compute cast; LayerNorm statistics stay f32 exactly like
+            ``nn.LayerNorm`` under a half-precision dtype).
 
     Returns:
         (B, W, C) float32 with W sharded over ``axis``.
@@ -149,28 +157,32 @@ def seq_parallel_generator(params, z, mesh: Mesh, axis: str, *,
             (noise_dim, ws0 * noise_dim))
         b_slice = lax.dynamic_slice(
             d0["bias"], (idx * ws0 * noise_dim,), (ws0 * noise_dim,))
-        h = act(z @ k_slice + b_slice)
+        h = act(z.astype(dtype) @ k_slice.astype(dtype)
+                + b_slice.astype(dtype))
         h = h.reshape(z.shape[0], ws0, noise_dim)
 
         for i in range(5):
             layer = params[f"ConvTranspose_{i}"]
-            h = halo_conv_transpose1d_local(h, layer["kernel"], strides,
-                                            axis, n_shards)
-            h = h + layer["bias"]
+            h = halo_conv_transpose1d_local(h, layer["kernel"].astype(dtype),
+                                            strides, axis, n_shards)
+            h = h + layer["bias"].astype(dtype)
             norm = params.get(f"Norm_{i}", {})
             if "BatchNorm_0" in norm:
                 raise ValueError(
                     "sequence-parallel generator does not support BatchNorm")
             if "LayerNorm_0" in norm:
                 ln = norm["LayerNorm_0"]
-                mu = h.mean(axis=-1, keepdims=True)
-                var = ((h - mu) ** 2).mean(axis=-1, keepdims=True)
-                h = (h - mu) * lax.rsqrt(var + 1e-3)
-                h = h * ln["scale"] + ln["bias"]
+                # nn.LayerNorm keeps statistics in f32 under half dtypes
+                h32 = h.astype(jnp.float32)
+                mu = h32.mean(axis=-1, keepdims=True)
+                var = ((h32 - mu) ** 2).mean(axis=-1, keepdims=True)
+                mu, var = mu.astype(dtype), var.astype(dtype)
+                h = (h - mu) * lax.rsqrt(var + jnp.asarray(1e-3, dtype))
+                h = h * ln["scale"].astype(dtype) + ln["bias"].astype(dtype)
             h = act(h)
 
         out = params["Dense_1"]
-        h = h @ out["kernel"] + out["bias"]
+        h = h @ out["kernel"].astype(dtype) + out["bias"].astype(dtype)
         h = h.astype(jnp.float32)
         return jax.nn.sigmoid(h) if normalize else h
 

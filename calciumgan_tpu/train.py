@@ -48,12 +48,10 @@ from calciumgan_tpu.models.base import count_params
 
 
 def _mean_logs(all_logs, weights=None) -> Dict[str, float]:
-    """Average per-batch log dicts, optionally weighted by real rows so a
-    padded final batch doesn't get full weight. Known approximation: the
-    filler rows still participate in that batch's ON-DEVICE mean (they
-    repeat the last real row), so the last row is slightly over-weighted
-    within the final batch — bounded by (pad/total) and zero for datasets
-    divisible by the batch size."""
+    """Average per-batch log dicts, optionally weighted by real rows. The
+    eval step's row mask already zero-weights padded filler rows inside
+    each batch's on-device mean, so the real_count-weighted average here is
+    exact over the whole validation set."""
     out: Dict[str, float] = {}
     if not all_logs:
         return out
@@ -136,9 +134,12 @@ def validate_epoch(config, dataset, eval_fn, state, summary: Summary,
                    epoch: int, run_key, mesh) -> Dict[str, float]:
     """One validation pass; saves generated signals per the
     ``--save_generated`` policy (parity: ``main.py:78-122``)."""
+    # same cadence knob as sampling/checkpointing (--checkpoint_every;
+    # reference hard-codes 10 for both — main.py:103,141)
+    every = max(1, config.checkpoint_every)
     save_generated = (
         (config.save_generated == "all" and
-         (epoch % 10 == 0 or epoch == config.epochs - 1)) or
+         (epoch % every == 0 or epoch == config.epochs - 1)) or
         (config.save_generated == "last" and epoch == config.epochs - 1))
 
     import itertools
@@ -152,9 +153,13 @@ def validate_epoch(config, dataset, eval_fn, state, summary: Summary,
     for i, (signal, _) in enumerate(
             _progress(it, "Validate", steps, config.verbose)):
         signal, real_count = mesh_lib.pad_to_multiple(signal, local_bs)
-        signal = mesh_lib.shard_batch(mesh, signal)
+        # row mask zero-weights the padded filler so every logged mean
+        # reduces exactly over the real rows
+        row_mask = np.zeros((signal.shape[0],), np.float32)
+        row_mask[:real_count] = 1.0
+        signal, row_mask = mesh_lib.shard_batch(mesh, signal, row_mask)
         step_key = jax.random.fold_in(run_key, 10**9 + epoch * steps + i)
-        fake, logs = eval_fn(state, signal, step_key)
+        fake, logs = eval_fn(state, signal, step_key, row_mask)
         all_logs.append(logs)
         weights.append(real_count)
         if save_generated:
@@ -207,7 +212,7 @@ def train_and_validate(config, train_ds, validation_ds, algo, fns, state,
     # fixed test noise (reference uses batch 1 — ``main.py:127``); padded to
     # the data-axis size so the jitted generate's batch sharding divides,
     # row 0 is the plotted sample
-    n_dev = mesh.shape[mesh_lib.DATA_AXIS]
+    n_dev = mesh_lib.data_extent(mesh)
     one = np.asarray(
         jax.device_get(algo.get_noise(jax.random.fold_in(run_key, 2**31 - 1),
                                       1)))
@@ -259,8 +264,11 @@ def test(config, validation_ds, eval_fn, state, mesh) -> Dict[str, float]:
     for i, (signal, _) in enumerate(
             itertools.islice(validation_ds.batches(local_bs), steps)):
         signal, real_count = mesh_lib.pad_to_multiple(signal, local_bs)
-        signal = mesh_lib.shard_batch(mesh, signal)
-        _, logs = eval_fn(state, signal, jax.random.fold_in(key, i))
+        row_mask = np.zeros((signal.shape[0],), np.float32)
+        row_mask[:real_count] = 1.0
+        signal, row_mask = mesh_lib.shard_batch(mesh, signal, row_mask)
+        _, logs = eval_fn(state, signal, jax.random.fold_in(key, i),
+                          row_mask)
         all_logs.append(logs)
         weights.append(real_count)
     return _mean_logs(all_logs, weights=weights)
@@ -271,7 +279,7 @@ def generate_surrogate_dataset(config, generate_fn, algo, state, mesh,
     """Generate a denormalised sample set to ``generated.pkl``
     (parity: ``utils.py:191-207``), batched at 1000 on device."""
     import pickle
-    n_dev = mesh.shape[mesh_lib.DATA_AXIS]
+    n_dev = mesh_lib.data_extent(mesh)
     batch_size = -(-1000 // n_dev) * n_dev  # reference batches at ~1000
     num_samples = -(-num_samples // batch_size) * batch_size
     key = jax.random.PRNGKey(config.seed + 999)
@@ -347,14 +355,29 @@ def main(config, return_metrics: bool = False,
         # long-context (context-parallel) training: sequence frames sharded
         # over a 'time' mesh axis (parallel/long_context.py)
         from calciumgan_tpu.parallel import long_context as lc
-        if jax.process_count() > 1:
-            raise NotImplementedError(
-                "time_parallelism is single-host for now (multi-host would "
-                "need time-aware per-process batch assembly)")
         n_dev = len(devices if devices is not None else jax.devices())
+        if time_par > n_dev or n_dev % time_par:
+            raise ValueError(
+                f"time_parallelism {time_par} must divide the device count "
+                f"({n_dev} device(s) visible)")
         data_par = config.data_parallelism
         if data_par in (-1, 0, None):
             data_par = n_dev // time_par
+        if jax.process_count() > 1:
+            # multi-host: each process feeds its (batch-rows x full-time)
+            # block and make_array_from_process_local_data carves the time
+            # slices onto its devices — valid only when no data-parallel
+            # row straddles a process boundary
+            local = jax.local_device_count()
+            if local % time_par:
+                raise ValueError(
+                    f"multi-host time_parallelism requires the time axis to "
+                    f"fit within each host: {local} local device(s) is not "
+                    f"divisible by time_parallelism {time_par}")
+            if data_par * time_par != n_dev:
+                raise ValueError(
+                    f"multi-host time_parallelism must use every device: "
+                    f"data {data_par} x time {time_par} != {n_dev}")
         mesh = lc.create_time_mesh(data_par, time_par, devices=devices)
         algo, *fns_lc = lc.make_long_context_algorithm(
             config, mesh, generator, discriminator)
@@ -365,7 +388,8 @@ def main(config, return_metrics: bool = False,
     else:
         algo = get_algorithm(config, generator, discriminator)
         mesh = mesh_lib.create_mesh(config.data_parallelism,
-                                    config.model_parallelism, devices=devices)
+                                    config.model_parallelism, devices=devices,
+                                    slices=getattr(config, "dcn_slices", 1))
         state = algo.init_state(jax.random.PRNGKey(config.seed))
         # place the initial state with its mesh shardings before compiling
         state = jax.device_put(state, mesh_lib.state_shardings(mesh, state))

@@ -48,7 +48,7 @@ def main(config, num_samples: int, out: str, batch_size: int = 1024,
 
     _, _, generate_fn = mesh_lib.make_step_fns(algo, mesh, state)
 
-    n_dev = mesh.shape[mesh_lib.DATA_AXIS]
+    n_dev = mesh_lib.data_extent(mesh)
     batch_size = -(-batch_size // n_dev) * n_dev
     key = jax.random.PRNGKey(seed)
     # multi-host: each process feeds and persists its own rows

@@ -58,6 +58,11 @@ def parse_args(argv=None) -> Config:
                         help="shard the sequence (time) axis over N devices "
                              "for long-context training (wgan-gp + "
                              "calciumgan + layer_norm)")
+    parser.add_argument("--dcn_slices", default=1, type=int,
+                        help="multi-slice: prepend a DCN 'slice' mesh axis "
+                             "restricted to data parallelism (batch shards "
+                             "over slice x data; only gradient all-reduces "
+                             "cross the inter-slice link)")
     parser.add_argument("--checkpoint_every", default=10, type=int)
     parser.add_argument("--distributed", action="store_true",
                         help="multi-host: call jax.distributed.initialize() "

@@ -9,6 +9,12 @@ make_array_from_process_local_data, local_rows replica dedup, per-process
 generation shards, single-writer info.pkl / hparams / checkpoints / events).
 
 Usage: python multihost_worker.py <pid> <nproc> <port> <data_dir> <out_dir>
+           [<lc_data_dir> <lc_out_dir>]
+
+When the optional long-context args are given, the worker additionally runs
+``--time_parallelism`` training over the (data=2, time=4) mesh spanning both
+processes — the multi-host x sequence-parallel composition (each process
+feeds (rows x full-time) blocks; its devices hold the time slices).
 """
 
 import os
@@ -76,6 +82,20 @@ def main():
     written = generate_cli.main(cfg, num_samples=8, out=out_h5,
                                 batch_size=8)
     assert written.endswith(f".{pid:03d}"), written
+
+    # optional: long-context (time-parallel) training across both hosts
+    if len(sys.argv) > 7:
+        lc_data_dir, lc_out_dir = sys.argv[6], sys.argv[7]
+        lc_cfg = parse_args([
+            "--input_dir", lc_data_dir, "--output_dir", lc_out_dir,
+            "--batch_size", "4", "--num_units", "2", "--kernel_size", "24",
+            "--noise_dim", "8", "--epochs", "1", "--n_critic", "1",
+            "--model", "calciumgan", "--algorithm", "wgan-gp", "--m", "0",
+            "--layer_norm", "--time_parallelism", "4",
+            "--data_parallelism", "2", "--save_generated", "last",
+            "--verbose", "0"])
+        train_lib.main(lc_cfg)
+        print(f"worker {pid} lc ok", flush=True)
 
     print(f"worker {pid} ok", flush=True)
 

@@ -81,6 +81,41 @@ def test_eval_step_does_not_mutate():
     assert np.isfinite(float(logs["loss/gradient_penalty"]))
 
 
+@pytest.mark.parametrize("algorithm", ["wgan-gp", "gan"])
+def test_eval_mask_ignores_padded_rows(algorithm):
+    """With a row mask, every logged eval statistic must be INDEPENDENT of
+    the padded rows' content (exact tail-batch reduction — VERDICT r2 weak
+    #7): two batches identical in their 8 real rows but with different
+    filler must log identical values, and they must differ from the
+    unmasked (filler-weighted) run."""
+    cfg = tiny_config(algorithm=algorithm)
+    algo, state = build(cfg)
+    real = fake_batch(cfg, n=8)
+    key = jax.random.PRNGKey(7)
+    mask = jnp.asarray(
+        np.concatenate([np.ones(8), np.zeros(4)]).astype(np.float32))
+    step = jax.jit(algo.eval_step)
+
+    pad_a = np.concatenate([real, np.repeat(real[-1:], 4, axis=0)])
+    pad_b = np.concatenate([real, 0.5 * np.ones((4,) + real.shape[1:],
+                                                np.float32)])
+    _, logs_a = step(state, jnp.asarray(pad_a), key, mask)
+    _, logs_b = step(state, jnp.asarray(pad_b), key, mask)
+    for k in logs_a:
+        np.testing.assert_allclose(float(logs_a[k]), float(logs_b[k]),
+                                   rtol=1e-6, err_msg=k)
+
+    _, logs_unmasked = step(state, jnp.asarray(pad_b), key, None)
+    assert any(abs(float(logs_unmasked[k]) - float(logs_a[k])) > 1e-7
+               for k in logs_a)
+
+    # the weighted mean itself is exact
+    from calciumgan_tpu.ops import signal_metrics as sm
+    x = jnp.asarray(np.arange(12, dtype=np.float32))
+    assert float(sm.batch_weighted_mean(x, mask)) == pytest.approx(
+        float(np.mean(np.arange(8))))
+
+
 def test_gradient_penalty_known_function():
     """For D(x) = sum(x) the gradient wrt x is all-ones, so
     ||grad||_2 = sqrt(seq*channels) and gp = (sqrt(D)-1)^2 exactly."""
@@ -125,7 +160,9 @@ def test_train_step_on_8dev_data_mesh():
     key = jax.device_put(jax.random.PRNGKey(1))
     new_state, logs = train(state, real, key)
     assert np.isfinite(float(logs["loss/generator"]))
-    fake, elogs = evaluate(new_state, real, key)
+    mask = jax.device_put(np.ones((16,), np.float32),
+                          batch_sharding(mesh, 1))
+    fake, elogs = evaluate(new_state, real, key, mask)
     assert fake.shape == real.shape
     noise = jax.device_put(np.zeros((8, cfg.noise_dim), np.float32),
                            batch_sharding(mesh, 2))
@@ -199,11 +236,48 @@ def test_model_parallel_mesh_runs():
                                rtol=1e-4)
     fresh = algo.init_state(jax.random.PRNGKey(0))  # train donated `state`
     fresh = jax.device_put(fresh, state_shardings(mesh, fresh))
-    _, elogs = evaluate(fresh, sharded_real, jax.device_put(key))
+    mask = jax.device_put(np.ones((8,), np.float32), batch_sharding(mesh, 1))
+    _, elogs = evaluate(fresh, sharded_real, jax.device_put(key), mask)
     np.testing.assert_allclose(float(elogs_single["loss/generator"]),
                                float(elogs["loss/generator"]), rtol=1e-4)
     np.testing.assert_allclose(float(elogs_single["loss/discriminator"]),
                                float(elogs["loss/discriminator"]), rtol=1e-4)
+
+
+def test_multi_slice_dcn_mesh_matches_single_device():
+    """Faked 2-slice (DCN) topology: (slice=2, data=2, model=2) over the 8
+    virtual devices. The slice axis is data-parallel only — batch sharded
+    P(('slice','data')), params replicated across slices, model sharding
+    contained within a slice — and the step must compute the same losses as
+    the unsharded program (SCALING.md "Multi-slice")."""
+    from jax.sharding import PartitionSpec as P
+
+    cfg = tiny_config(n_critic=1, model_parallelism=2)
+    algo, state = build(cfg)
+    real = fake_batch(cfg, n=16)
+    key = jax.random.PRNGKey(2)
+
+    _, logs_single = jax.jit(algo.train_step)(state, jnp.asarray(real), key)
+
+    mesh = create_mesh(data_parallelism=2, model_parallelism=2, slices=2)
+    assert mesh.axis_names == ("slice", "data", "model")
+    from calciumgan_tpu.parallel.mesh import data_extent
+    assert data_extent(mesh) == 4
+    train, _, _ = make_step_fns(algo, mesh, state)
+    sharded_state = jax.device_put(state, state_shardings(mesh, state))
+    # model sharding stays within a slice; params replicate across slices
+    head = sharded_state.discriminator.params["Dense_0"]["kernel"]
+    assert head.sharding.spec == P("model", None), head.sharding
+    sharded_real = jax.device_put(real, batch_sharding(mesh, 3))
+    assert sharded_real.sharding.spec == P(("slice", "data"), None, None)
+    _, logs_mesh = train(sharded_state, sharded_real, jax.device_put(key))
+
+    np.testing.assert_allclose(float(logs_single["loss/discriminator"]),
+                               float(logs_mesh["loss/discriminator"]),
+                               rtol=1e-4)
+    np.testing.assert_allclose(float(logs_single["loss/gradient_penalty"]),
+                               float(logs_mesh["loss/gradient_penalty"]),
+                               rtol=1e-4)
 
 
 def test_unrolled_critic_matches_scan():

@@ -76,7 +76,10 @@ def test_trains_and_generates_with_phase_shuffle(rng):
     state, logs = train(state, real, jax.device_put(jax.random.PRNGKey(2)))
     assert all(np.isfinite(float(np.asarray(v))) for v in logs.values())
 
-    fake, elogs = evaluate(state, real, jax.device_put(jax.random.PRNGKey(3)))
+    mask = jax.device_put(np.ones((8,), np.float32),
+                          NamedSharding(mesh, P("data")))
+    fake, elogs = evaluate(state, real, jax.device_put(jax.random.PRNGKey(3)),
+                           mask)
     assert fake.shape == (8, 1024, 3)
     assert all(np.isfinite(float(np.asarray(v))) for v in elogs.values())
 

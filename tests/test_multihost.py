@@ -42,6 +42,17 @@ def test_two_process_training(tmp_path, rng):
                            apply_fft=False, conv2d=False, verbose=0)
     out_dir = str(tmp_path / "run")
 
+    # long-sequence dataset for the multi-host x time-parallel composition
+    lc_data = {"signals": rng.random((3, 6000)).astype(np.float32),
+               "oasis": (rng.random((3, 6000)) < 0.05).astype(np.float32)}
+    lc_signals, lc_spikes, lc_meta = segments.preprocess(
+        lc_data, 1024, 512, do_normalize=True, is_dg_data=True)
+    lc_data_dir = str(tmp_path / "lc_records")
+    segments.write_dataset(lc_data_dir, lc_signals, lc_spikes, lc_meta,
+                           1024, 512, validation_size=8, do_normalize=True,
+                           apply_fft=False, conv2d=False, verbose=0)
+    lc_out_dir = str(tmp_path / "lc_run")
+
     port = _free_port()
     worker = os.path.join(os.path.dirname(__file__), "multihost_worker.py")
     env = {k: v for k, v in os.environ.items()
@@ -49,7 +60,7 @@ def test_two_process_training(tmp_path, rng):
     procs = [
         subprocess.Popen(
             [sys.executable, worker, str(pid), "2", str(port), data_dir,
-             out_dir],
+             out_dir, lc_data_dir, lc_out_dir],
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
             env=env)
         for pid in range(2)
@@ -60,6 +71,7 @@ def test_two_process_training(tmp_path, rng):
         outputs.append(out)
         assert p.returncode == 0, f"worker {pid} failed:\n{out[-4000:]}"
         assert f"worker {pid} ok" in out
+        assert f"worker {pid} lc ok" in out
 
     # --- single-writer artifacts: exactly one of each --------------------
     # hparams.json (process 0 only, atomic)
@@ -98,6 +110,19 @@ def test_two_process_training(tmp_path, rng):
         shard = os.path.join(out_dir, f"samples.h5.{pid:03d}")
         assert os.path.exists(shard), shard
         assert h5.get_dataset_length(shard, "signals") == 4  # 8 rows / 2
+
+    # --- long-context (data=2 x time=4) run across both hosts ------------
+    lc_ckpts = glob.glob(os.path.join(lc_out_dir, "checkpoints",
+                                      "epoch-*.msgpack"))
+    assert len(lc_ckpts) == 1
+    lc_shards = sorted(glob.glob(
+        os.path.join(lc_out_dir, "generated", "epoch000_signals.h5.*")))
+    assert [s.rsplit(".", 1)[1] for s in lc_shards] == ["000", "001"]
+    for s in lc_shards:
+        fake = h5.get(s, "signals")
+        # time-sharded outputs reassembled into complete sequences
+        assert fake.shape[1:] == (1024, 3)
+        assert np.isfinite(fake).all()
 
     # --- both processes trained the same number of steps ------------------
     # (mismatched step counts would deadlock a collective and time out above;
