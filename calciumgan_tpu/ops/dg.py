@@ -79,34 +79,51 @@ class Higham:
         np.fill_diagonal(out, 1.0)
         return out
 
+    @staticmethod
+    def _relative_change(new: np.ndarray, old: np.ndarray) -> float:
+        """max-row-sum (l_inf-induced) norm of the difference, relative to
+        the new iterate."""
+        return float(np.max(np.abs(new - old).sum(1))
+                     / np.max(np.abs(new).sum(1)))
+
     def higham_correction(self, M: np.ndarray) -> np.ndarray:
-        M = np.asarray(M, np.float64)
-        it, DS = 0, 0.0
-        Yo = Xo = M
-        delta = np.inf
-        while it < self.maxiters and delta > self.tol:
-            R = Yo - DS
-            Xn = self.projection_S(R)
-            DS = Xn - R
-            Yn = self.projection_U(Xn)
-            del_x = np.max(np.abs(Xn - Xo).sum(1)) / np.max(np.abs(Xn).sum(1))
-            del_y = np.max(np.abs(Yn - Yo).sum(1)) / np.max(np.abs(Yn).sum(1))
-            del_xy = np.max(np.abs(Yn - Xn).sum(1)) / np.max(np.abs(Yn).sum(1))
-            delta = max(del_x, del_y, del_xy)
-            Xo, Yo = Xn, Yn
-            it += 1
-        if it >= self.maxiters:
-            warnings.warn("Iteration limit reached without convergence.",
-                          WarningDG)
-        eigvals, eigvec = np.linalg.eigh(Yn)
+        """Higham (2002): alternate projections onto the PSD cone and the
+        unit-diagonal affine set, with a Dykstra correction term carried
+        across iterations so the sequence converges to the nearest
+        correlation matrix rather than just a feasible point. Stops when the
+        PSD iterate, the unit-diagonal iterate, and their gap all move less
+        than ``tol``."""
+        psd = unit_diag = np.asarray(M, np.float64)
+        correction = np.zeros_like(psd)
+        for _ in range(int(self.maxiters)):
+            shifted = unit_diag - correction
+            new_psd = self.projection_S(shifted)
+            correction = new_psd - shifted
+            new_unit = self.projection_U(new_psd)
+            done = max(
+                self._relative_change(new_psd, psd),
+                self._relative_change(new_unit, unit_diag),
+                self._relative_change(new_unit, new_psd)) <= self.tol
+            psd, unit_diag = new_psd, new_unit
+            if done:
+                break
+        else:
+            warnings.warn(
+                f"Higham projection stopped at the {int(self.maxiters)}"
+                f"-iteration cap before the change fell under {self.tol}.",
+                WarningDG)
+        # the unit-diagonal projection can re-introduce tiny negative
+        # eigenvalues; clamp them and renormalise back to a correlation
+        eigvals, eigvec = np.linalg.eigh(unit_diag)
         if eigvals.min() < 0:
-            warnings.warn("Higham corrected matrix was not positive definite."
-                          " Converting into pd matrix.", WarningDG)
+            warnings.warn(
+                "projected matrix has negative eigenvalues; clamping "
+                "spectrum to reach positive definiteness.", WarningDG)
             eigvals = np.where(eigvals < 0, 1e-6, eigvals)
-            Yn = (eigvec * eigvals) @ eigvec.T
-            Yn = cov_to_corr(Yn)
-            Yn = 0.5 * (Yn + Yn.T)
-        return np.real(Yn)
+            unit_diag = (eigvec * eigvals) @ eigvec.T
+            unit_diag = cov_to_corr(unit_diag)
+            unit_diag = 0.5 * (unit_diag + unit_diag.T)
+        return np.real(unit_diag)
 
 
 def is_positive_definite(M: np.ndarray) -> bool:
@@ -146,11 +163,12 @@ class DichotGauss:
         if not is_positive_definite(M):
             if not self.make_pd:
                 warnings.warn(
-                    "Input covariance matrix is not positive definite. Set "
-                    "'make_pd' to True to do Higham correction.", WarningDG)
+                    "correlation matrix is not positive definite; construct "
+                    "with make_pd=True to project it onto the nearest "
+                    "correlation matrix.", WarningDG)
                 raise NotImplementedError
-            warnings.warn("Input covariance matrix is not positive definite."
-                          " Doing Higham correction.", WarningDG)
+            warnings.warn("correlation matrix is not positive definite; "
+                          "applying the Higham projection.", WarningDG)
             M = self.higham.higham_correction(M)
         return M
 
