@@ -127,24 +127,44 @@ def bench_train_step():
     return steps_per_sec, n_dev, tflop_per_step, mfu_pct
 
 
-def bench_oasis(T: int = 2048, n_traces: int = 4096):
+def bench_oasis(T: int = 2048, n_traces: int = 16384):
     """Deconvolution throughput with honest tunnel methodology: the input
     lives on device (a per-rep host feed would measure the ~400 ms/8 MB
     tunnel upload, not the kernel), every rep perturbs it on device (reps on
     identical inputs have produced impossibly fast timings), and the sync is
-    a scalar that depends on the whole output."""
+    a scalar that depends on the whole output. ``n_traces`` matches the eval
+    pipeline's TPU chunk size (spike_eval.deconvolve_file) so the number is
+    the throughput users actually see per dispatch."""
     import jax.numpy as jnp
-    from calciumgan_tpu.ops.oasis import ar1_filter, deconvolve_signals
 
     rng = np.random.default_rng(1)
     spikes = (rng.random((n_traces, T)) < 0.02).astype(np.float32)
-    traces = np.asarray(ar1_filter(spikes, g=(0.95,)))
-    traces = traces + 0.3 * rng.standard_normal(
-        traces.shape).astype(np.float32)
+    # AR(1) synthesis on host so benchmark prep never waits on the tunnel
+    traces = np.empty_like(spikes)
+    acc = np.zeros(n_traces, np.float32)
+    for t in range(T):
+        acc = 0.95 * acc + spikes[:, t]
+        traces[:, t] = acc
+    traces += 0.3 * rng.standard_normal(traces.shape).astype(np.float32)
 
-    @jax.jit
-    def run(y, eps):
-        return deconvolve_signals(y + eps).sum()
+    if jax.default_backend() == "tpu":
+        # the exact device program the eval pipeline dispatches per chunk
+        # (ops.oasis.deconvolve_signals_host): fused Pallas kernel +
+        # binarise; redo flags are resolved host-side and are zero by
+        # construction on this data
+        from calciumgan_tpu.ops.oasis_pallas import oasis_ar1_pallas
+
+        @jax.jit
+        def run(y, eps):
+            _, s, redo = oasis_ar1_pallas(y + eps, g=0.95, lam=0.0,
+                                          s_min=0.55)
+            return (s > 0.5).astype(jnp.int8).sum() + redo.sum()
+    else:
+        from calciumgan_tpu.ops.oasis import deconvolve_signals
+
+        @jax.jit
+        def run(y, eps):
+            return deconvolve_signals(y + eps).sum()
 
     dev = jax.device_put(traces)
     float(run(dev, jnp.float32(0)))  # compile

@@ -1,6 +1,10 @@
 """Quick OASIS kernel microbenchmark on the attached TPU (methodology per
 BASELINE.md / tunnel-tpu rules: device-resident input, per-rep perturbation,
-whole-output scalar sync, median of >=7)."""
+whole-output scalar sync, median of >=5). Uses the persistent compile cache
+so retries after tunnel stalls skip recompiles.
+
+    python bench_oasis_quick.py [n_traces ...]
+"""
 
 import sys
 import time
@@ -9,15 +13,20 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from calciumgan_tpu.ops.oasis import ar1_filter, deconvolve_signals
+from calciumgan_tpu.train import enable_compilation_cache
+from calciumgan_tpu.ops.oasis import deconvolve_signals
 
 
-def bench(n_traces, T=2048, reps=7):
+def bench(n_traces, T=2048, reps=5):
     rng = np.random.default_rng(1)
     spikes = (rng.random((n_traces, T)) < 0.02).astype(np.float32)
-    traces = np.asarray(ar1_filter(spikes, g=(0.95,)))
-    traces = traces + 0.3 * rng.standard_normal(
-        traces.shape).astype(np.float32)
+    # AR(1) synthesis on host (numpy) so data prep never waits on the tunnel
+    traces = np.empty_like(spikes)
+    acc = np.zeros(n_traces, np.float32)
+    for t in range(T):
+        acc = 0.95 * acc + spikes[:, t]
+        traces[:, t] = acc
+    traces += 0.3 * rng.standard_normal(traces.shape).astype(np.float32)
 
     @jax.jit
     def run(y, eps):
@@ -32,13 +41,15 @@ def bench(n_traces, T=2048, reps=7):
         start = time.perf_counter()
         float(run(dev, jnp.float32(1e-6 * (i + 1))))
         times.append(time.perf_counter() - start)
+        print(f"  n={n_traces} rep {i}: {times[-1]*1e3:.1f} ms", flush=True)
     med = float(np.median(times))
     print(f"n={n_traces:6d} T={T}: median {med*1e3:8.2f} ms "
-          f"({n_traces/med:9.1f} traces/s)  compile {compile_s:.1f}s  "
-          f"all={[round(t*1e3,1) for t in sorted(times)]}", flush=True)
+          f"({n_traces/med:9.1f} traces/s)  compile {compile_s:.1f}s",
+          flush=True)
 
 
 if __name__ == "__main__":
+    enable_compilation_cache()
     print("backend:", jax.default_backend(), flush=True)
     for n in [int(x) for x in (sys.argv[1:] or ["1024", "4096", "16384"])]:
         bench(n)

@@ -53,7 +53,8 @@ def deconvolve_file(config, filename: str, chunk: int = 0) -> None:
 
     ``chunk`` counts trials per device dispatch (0 = auto). On TPU each
     dispatch pays a fixed launch/tunnel floor (~34 ms measured), so chunks
-    are sized to ~4096 traces; host backends keep smaller chunks for memory.
+    are sized to ~16384 traces (~25% of the call is floor at that size);
+    host backends keep smaller chunks for memory.
 
     Crash safety: chunks append to a ``_spikes_partial`` staging dataset
     that is promoted to ``spikes`` only once every trial is done, so a run
@@ -65,7 +66,7 @@ def deconvolve_file(config, filename: str, chunk: int = 0) -> None:
     n = h5.get_dataset_length(filename, "signals")
     if chunk <= 0:
         per_trial = max(1, int(getattr(config, "num_neurons", 1) or 1))
-        target = 4096 if jax.default_backend() == "tpu" else 512
+        target = 16384 if jax.default_backend() == "tpu" else 512
         chunk = max(1, target // per_trial)
     staging = "_spikes_partial"
     done = 0
