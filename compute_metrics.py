@@ -44,9 +44,14 @@ def main(config, with_covariance: bool = False,
 
     # figures render in a process pool (the reference used its pool for
     # metric computation — compute_metrics.py:45-49; here metrics are
-    # on-device and matplotlib is the bottleneck worth fanning out)
+    # on-device and matplotlib is the bottleneck worth fanning out). On a
+    # single-core host the pool only adds spawn + pickling overhead
+    # (measured: 129 s pooled vs 116 s inline for 3 warm epochs at
+    # 200x102x2048), so the worker count adapts to the cores available.
+    workers = 0 if no_plots else min(config.num_processors,
+                                     max(0, (os.cpu_count() or 1) - 1))
     summary = Summary(config, spike_metrics=True, no_plots=no_plots,
-                      workers=0 if no_plots else config.num_processors)
+                      workers=workers)
     epochs = sorted(info.keys())
     if not config.all_epochs:
         epochs = [epochs[-1]]  # only the last generated file by default
