@@ -190,7 +190,9 @@ def deconvolve_signals_host(signals, g: float = 0.95, s_min: float = 0.55,
         return (s > threshold).astype(jnp.int8), redo
 
     spikes_dev, redo_dev = run(signals, depth, interpret)
-    spikes = np.asarray(jax.device_get(spikes_dev))
+    # np.array (copy): device_get views are read-only and flagged rows are
+    # patched in place below
+    spikes = np.array(jax.device_get(spikes_dev))
     flags = np.asarray(jax.device_get(redo_dev))
     if flags.any():
         idx = np.nonzero(flags.reshape(-1))[0]

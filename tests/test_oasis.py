@@ -64,6 +64,30 @@ def test_constant_zero_trace():
     assert out.sum() == 0
 
 
+def test_deconvolve_signals_host_matches_and_recomputes_flagged(rng):
+    """The host-driver path (Pallas + host-side redo gathering) must match
+    the exact path bit-for-bit — including when some traces overflow a
+    deliberately tiny stack depth and get recomputed individually."""
+    from calciumgan_tpu.ops.oasis import deconvolve_signals_host
+    from calciumgan_tpu.ops.oasis_pallas import oasis_ar1_pallas
+
+    y, _ = synth_traces(rng, n=12, T=192)
+    y = np.asarray(y, np.float32)
+    exact = np.asarray(deconvolve_signals(y, backend="while")).astype(np.int8)
+
+    # depth=8 forces stack overflow on busy traces -> redo flags fire
+    _, _, redo = oasis_ar1_pallas(y, g=0.95, s_min=0.55, depth=8,
+                                  interpret=True)
+    assert bool(np.asarray(redo).any()), "test needs at least one flag"
+    out = deconvolve_signals_host(y, depth=8)
+    assert out.dtype == np.int8
+    np.testing.assert_array_equal(out, exact)
+
+    # and with ample depth (no flags) it still matches
+    out_full = deconvolve_signals_host(y)
+    np.testing.assert_array_equal(out_full, exact)
+
+
 def test_ar1_filter_matches_reference_loop(rng):
     # reference generate_dg_data.py:54-70 starts the recurrence at t=2
     spikes = (rng.random((4, 100)) < 0.1).astype(np.float32)
