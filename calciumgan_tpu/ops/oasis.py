@@ -197,10 +197,24 @@ def deconvolve_signals_host(signals, g: float = 0.95, s_min: float = 0.55,
     if flags.any():
         idx = np.nonzero(flags.reshape(-1))[0]
         flat = signals.reshape((-1, signals.shape[-1]))
-        _, s_w = oasis_ar1_jax(flat[idx], g=g, lam=0.0, s_min=s_min)
-        exact = (np.asarray(jax.device_get(s_w)) > threshold).astype(np.int8)
+        exact = _exact_spikes_host(flat[idx], g, s_min, threshold)
         spikes.reshape((-1, signals.shape[-1]))[idx] = exact
     return spikes
+
+
+def _exact_spikes_host(traces, g, s_min, threshold):
+    """Exact spikes for a handful of flagged traces. Prefers the C++ OpenMP
+    kernel (~13.6k traces/s/core, wall-clock ~ traces/rate) over the XLA
+    while_loop machine, whose wall-clock is ~O(T) regardless of how few
+    traces ride it (each merge/push event is a separate device step)."""
+    import numpy as np
+    from calciumgan_tpu import native
+    out = native.deconvolve_batch(traces, g=g, s_min=s_min,
+                                  threshold=threshold)
+    if out is not None:
+        return out.astype(np.int8)
+    _, s_w = oasis_ar1_jax(traces, g=g, lam=0.0, s_min=s_min)
+    return (np.asarray(jax.device_get(s_w)) > threshold).astype(np.int8)
 
 
 def ar1_filter(spikes: jnp.ndarray, g=(0.95,), axis: int = -1) -> jnp.ndarray:
