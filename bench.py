@@ -150,14 +150,17 @@ def bench_oasis(T: int = 2048, n_traces: int = 16384):
     if jax.default_backend() == "tpu":
         # the exact device program the eval pipeline dispatches per chunk
         # (ops.oasis.deconvolve_signals_host): fused Pallas kernel +
-        # binarise; redo flags are resolved host-side and are zero by
-        # construction on this data
+        # binarise at the depth ladder's first rung, which spiky-calcium
+        # data takes without flags (denser data escalates on device — see
+        # ops.oasis._DEPTH_LADDER); redo flags are resolved host-side and
+        # are zero by construction on this data
+        from calciumgan_tpu.ops.oasis import _DEPTH_LADDER
         from calciumgan_tpu.ops.oasis_pallas import oasis_ar1_pallas
 
         @jax.jit
         def run(y, eps):
             _, s, redo = oasis_ar1_pallas(y + eps, g=0.95, lam=0.0,
-                                          s_min=0.55)
+                                          s_min=0.55, depth=_DEPTH_LADDER[0])
             return (s > 0.5).astype(jnp.int8).sum() + redo.sum()
     else:
         from calciumgan_tpu.ops.oasis import deconvolve_signals

@@ -164,6 +164,19 @@ def deconvolve_signals(signals: jnp.ndarray, g: float = 0.95,
     return (s > threshold).astype(jnp.float32)
 
 
+# Eval-path stack-depth ladder: the kernel's per-timestep VMEM roll traffic
+# scales with the stack cap, so depth 96 runs ~15-20% faster than the
+# in-graph default 128 and still covers every measured spiky-calcium
+# workload (worst case ~54 pools at the production s_min=0.55 — see
+# oasis_pallas module doc). Atypically dense data (e.g. >=5% spikes/frame)
+# legitimately needs deeper stacks; when more than ``_ESCALATE_FRAC`` of a
+# chunk's lanes flag, re-dispatching the whole chunk one rung deeper beats
+# the host redo path (one 16k-trace dispatch ~ 0.13 s ~ recomputing ~1.7k
+# traces on the C++ host kernel at 13.6k traces/s/core).
+_DEPTH_LADDER = (96, 160, 256)
+_ESCALATE_FRAC = 0.10
+
+
 def deconvolve_signals_host(signals, g: float = 0.95, s_min: float = 0.55,
                             threshold: float = 0.5, depth: int | None = None):
     """Host-driver deconvolution: Pallas kernel + host-side redo gathering.
@@ -174,6 +187,10 @@ def deconvolve_signals_host(signals, g: float = 0.95, s_min: float = 0.55,
     recomputes the entire batch when any single lane flags (one unlucky
     trace in a 4096-trace chunk would cost ~9 s there). Spikes come back as
     a host int8 array — 4x less tunnel/host traffic than float32.
+
+    With ``depth=None`` the dispatch walks ``_DEPTH_LADDER``: shallow first
+    for speed, escalating the whole chunk on device while a large fraction
+    of lanes flags. An explicit ``depth`` pins a single dispatch.
 
     Args: signals (..., T) host array. Returns np.int8 of the same shape.
     """
@@ -189,7 +206,17 @@ def deconvolve_signals_host(signals, g: float = 0.95, s_min: float = 0.55,
                                       depth=depth, interpret=interpret)
         return (s > threshold).astype(jnp.int8), redo
 
-    spikes_dev, redo_dev = run(signals, depth, interpret)
+    T = signals.shape[-1]
+    if depth is not None:
+        ladder = (depth,)
+    else:  # clamp to T and dedupe so short traces run one rung, not three
+        ladder = tuple(dict.fromkeys(min(T, d) for d in _DEPTH_LADDER))
+    dev = jax.device_put(signals)  # upload once; ladder retries reuse it
+    for i, d in enumerate(ladder):
+        spikes_dev, redo_dev = run(dev, d, interpret)
+        flags_frac = float(np.asarray(jax.device_get(redo_dev)).mean())
+        if flags_frac <= _ESCALATE_FRAC or i == len(ladder) - 1:
+            break
     # np.array (copy): device_get views are read-only and flagged rows are
     # patched in place below
     spikes = np.array(jax.device_get(spikes_dev))

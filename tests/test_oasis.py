@@ -88,6 +88,37 @@ def test_deconvolve_signals_host_matches_and_recomputes_flagged(rng):
     np.testing.assert_array_equal(out_full, exact)
 
 
+def test_deconvolve_signals_host_escalates_depth(rng, monkeypatch):
+    """When most of a chunk overflows the shallow first rung, the host
+    driver must re-dispatch the whole chunk one rung deeper on device
+    instead of recomputing the majority of traces on the host."""
+    from calciumgan_tpu.ops import oasis as oasis_mod
+    from calciumgan_tpu.ops.oasis_pallas import oasis_ar1_pallas
+
+    y, _ = synth_traces(rng, n=12, T=192, rate=0.2)
+    y = np.asarray(y, np.float32)
+    exact = np.asarray(deconvolve_signals(y, backend="while")).astype(np.int8)
+
+    # precondition: dense traces overflow depth 8 on well over 10% of lanes
+    _, _, redo = oasis_ar1_pallas(y, g=0.95, s_min=0.55, depth=8,
+                                  interpret=True)
+    assert float(np.asarray(redo).mean()) > oasis_mod._ESCALATE_FRAC
+
+    redone_rows = []
+    real_exact = oasis_mod._exact_spikes_host
+
+    def spy(traces, *args, **kwargs):
+        redone_rows.append(len(traces))
+        return real_exact(traces, *args, **kwargs)
+
+    monkeypatch.setattr(oasis_mod, "_DEPTH_LADDER", (8, 192))
+    monkeypatch.setattr(oasis_mod, "_exact_spikes_host", spy)
+    out = oasis_mod.deconvolve_signals_host(y)
+    np.testing.assert_array_equal(out, exact)
+    # the deep rung (192 = T) resolves every lane: nothing went to the host
+    assert redone_rows == []
+
+
 def test_ar1_filter_matches_reference_loop(rng):
     # reference generate_dg_data.py:54-70 starts the recurrence at t=2
     spikes = (rng.random((4, 100)) < 0.1).astype(np.float32)
