@@ -44,7 +44,16 @@ def count_params(params) -> int:
 
 class Norm(nn.Module):
     """Optional BatchNorm and/or LayerNorm, applied in the reference's order
-    (batch_norm then layer_norm — ``calciumgan.py:42-45``)."""
+    (batch_norm then layer_norm — ``calciumgan.py:42-45``).
+
+    Deliberate deviation: LayerNorm is SKIPPED when the feature axis has
+    size 1. Normalising a single element yields exactly its (zero-init)
+    bias, independent of the input — in the reference this makes the
+    ``calciumgan2d`` generator's final layer (filters=num_channels=1 for
+    non-fft data, ``calciumgan2d.py:93-103``) emit a trainable constant and
+    cuts all gradient flow to the conv stack below, so conv2d + layer_norm
+    silently cannot train there. Skipping the no-op norm keeps the model
+    trainable; layers with >1 channel are normalised as usual."""
 
     batch_norm: bool = False
     layer_norm: bool = False
@@ -56,7 +65,7 @@ class Norm(nn.Module):
             x = nn.BatchNorm(
                 use_running_average=not training,
                 momentum=0.99, epsilon=1e-3, dtype=self.dtype)(x)
-        if self.layer_norm:
+        if self.layer_norm and x.shape[-1] > 1:
             x = nn.LayerNorm(epsilon=1e-3, dtype=self.dtype)(x)
         return x
 

@@ -62,6 +62,32 @@ def test_calciumgan2d_shapes():
     assert out.shape == (2, 1)
 
 
+def test_calciumgan2d_layer_norm_keeps_gradient_flow():
+    """LayerNorm over the final size-1 channel axis would emit a trainable
+    constant (independent of the noise) and zero every gradient below it —
+    the reference's conv2d + layer_norm pathology (see base.Norm). The
+    size-1 norm is skipped, so the output must depend on the noise and the
+    first conv-transpose must receive nonzero gradient."""
+    cfg = tiny_config(model="calciumgan2d", signal_shape=(64, 6, 1),
+                      num_channels=1)
+    gen, _ = get_models(cfg)
+    rng = jax.random.PRNGKey(0)
+    noise = jax.random.normal(rng, (4, cfg.noise_dim))
+    gvars = gen.init({"params": rng, "dropout": rng}, noise, training=False)
+    fake = gen.apply(gvars, noise, training=False, rngs={"dropout": rng})
+    assert float(jnp.std(fake, axis=0).mean()) > 0.0
+
+    def loss(params):
+        out = gen.apply({**gvars, "params": params}, noise, training=True,
+                        rngs={"dropout": rng})
+        return jnp.sum(jnp.square(out))
+
+    grads = jax.grad(loss)(gvars["params"])
+    first_conv = [v for k, v in sorted(grads.items()) if "ConvTranspose" in k]
+    assert first_conv, f"no ConvTranspose grads in {list(grads)}"
+    assert float(jnp.abs(first_conv[0]["kernel"]).max()) > 0.0
+
+
 def test_mlp_shapes():
     cfg = tiny_config(model="mlp")
     fake, out, _, _ = init_and_run(cfg)
