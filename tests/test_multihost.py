@@ -53,22 +53,34 @@ def test_two_process_training(tmp_path, rng):
                            apply_fft=False, conv2d=False, verbose=0)
     lc_out_dir = str(tmp_path / "lc_run")
 
-    port = _free_port()
     worker = os.path.join(os.path.dirname(__file__), "multihost_worker.py")
     env = {k: v for k, v in os.environ.items()
            if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
-    procs = [
-        subprocess.Popen(
-            [sys.executable, worker, str(pid), "2", str(port), data_dir,
-             out_dir, lc_data_dir, lc_out_dir],
-            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
-            env=env)
-        for pid in range(2)
-    ]
-    outputs = []
-    for pid, p in enumerate(procs):
-        out, _ = p.communicate(timeout=900)
-        outputs.append(out)
+
+    def launch():
+        port = _free_port()
+        procs = [
+            subprocess.Popen(
+                [sys.executable, worker, str(pid), "2", str(port), data_dir,
+                 out_dir, lc_data_dir, lc_out_dir],
+                stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+                env=env)
+            for pid in range(2)
+        ]
+        return [p.communicate(timeout=900)[0] for p in procs], procs
+
+    outputs, procs = launch()
+    if any(p.returncode != 0 for p in procs) and any(
+            "Gloo context initialization failed" in o for o in outputs):
+        # Gloo's cross-worker rendezvous has a fixed ~30 s deadline with no
+        # user-exposed knob; on a heavily loaded shared host one worker can
+        # miss it while the other is still compiling. Retry once for that
+        # specific environment failure only — real breakage still fails.
+        import shutil
+        for d in (out_dir, lc_out_dir):
+            shutil.rmtree(d, ignore_errors=True)
+        outputs, procs = launch()
+    for pid, (p, out) in enumerate(zip(procs, outputs)):
         assert p.returncode == 0, f"worker {pid} failed:\n{out[-4000:]}"
         assert f"worker {pid} ok" in out
         assert f"worker {pid} lc ok" in out
