@@ -5,7 +5,9 @@ per pickle in ``--input_dir``, deconvolve every neuron with
 oasisAR1(g=0.95, s_min=0.55), binarise at 0.5, store under key ``'oasis'``;
 ``--clean`` removes the key. TPU-native: the whole (neurons, T) matrix is
 deconvolved as one batched device computation
-(:func:`calciumgan_tpu.ops.oasis.deconvolve_signals`).
+(:func:`calciumgan_tpu.ops.oasis.deconvolve_signals_host` — the same
+depth-ladder Pallas dispatch the eval pipeline uses, with flagged traces
+recomputed host-side instead of an in-graph whole-batch redo).
 """
 
 import os as _os
@@ -22,7 +24,8 @@ from glob import glob
 import jax
 import numpy as np
 
-from calciumgan_tpu.ops.oasis import deconvolve_signals
+from calciumgan_tpu.ops.oasis import deconvolve_signals, \
+    deconvolve_signals_host
 
 
 def generate_spike_train(args, filename):
@@ -38,9 +41,9 @@ def generate_spike_train(args, filename):
             return
 
     signals = np.asarray(data["signals"], np.float32)
-    if jax.default_backend() == "tpu":  # Pallas kernel, up to ~56k traces/s/chip
-        oasis = np.asarray(jax.device_get(
-            deconvolve_signals(signals, g=0.95, s_min=0.55, threshold=0.5)))
+    if jax.default_backend() == "tpu":  # Pallas depth-ladder dispatch
+        oasis = deconvolve_signals_host(signals, g=0.95, s_min=0.55,
+                                        threshold=0.5)
     else:
         from calciumgan_tpu import native
         oasis = native.deconvolve_batch(signals, g=0.95, s_min=0.55,
