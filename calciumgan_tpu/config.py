@@ -80,6 +80,13 @@ class Config:
     dcn_slices: int = 1
     # Checkpoint cadence in epochs (reference hard-codes 10, main.py:141).
     checkpoint_every: int = 10
+    # Stage the train/validation signals on device once and gather batches
+    # in-graph ('auto': single process + accelerator backend + fits the MB
+    # budget). Avoids per-batch host->device uploads — the hosted tunnel
+    # TPU client leaks ~1.2x every uploaded byte (data/pipeline.py:
+    # DeviceStore, tools/probe_transfer_leak.py).
+    device_store: str = "auto"
+    device_store_mb: int = 4096
 
     # --- runtime state ---
     global_step: int = 0

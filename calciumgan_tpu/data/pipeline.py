@@ -235,6 +235,74 @@ def reverse_preprocessing(config, x: np.ndarray) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# device-resident signal store
+# ---------------------------------------------------------------------------
+
+class DeviceStore:
+    """Device-resident training signals with on-device batch gather.
+
+    The hosted tunnel TPU client retains a host-side copy of every
+    host->device transfer (~1.2x the bytes shipped, never freed — measured
+    by ``tools/probe_transfer_leak.py``; ``Array.delete()``,
+    ``jax.clear_caches()`` and gc do not reclaim it, and
+    ``client.live_buffers()`` is empty while RSS grows). Streaming ~50 MB
+    batches therefore leaks ~1.5 GB of host memory per epoch and
+    OOM-killed a 150-epoch single-process run at 112 GB RSS.
+
+    Staging the signals array on device ONCE and gathering each batch
+    in-graph cuts host->device traffic to one upload per run plus a tiny
+    int32 index vector per step. Rows are padded to the mesh's batch-shard
+    divisor (pad rows are never indexed); the gather's output carries the
+    exact batch sharding the jitted steps expect, so no resharding happens
+    at step boundaries.
+
+    Used when the array fits ``config.device_store_mb`` on a single
+    process; the streaming :class:`DevicePrefetcher` remains the fallback
+    (multi-host feeds per-process rows, which a global device gather does
+    not compose with).
+    """
+
+    def __init__(self, mesh, signals: np.ndarray):
+        from calciumgan_tpu.parallel import mesh as mesh_lib
+
+        signals = np.asarray(signals)
+        self.rows = len(signals)
+        pad = -self.rows % mesh_lib.data_extent(mesh)
+        if pad:
+            signals = np.concatenate([signals, signals[:pad]], axis=0)
+        sharding = mesh_lib.batch_sharding(mesh, signals.ndim)
+        self._store = jax.device_put(signals, sharding)
+        self._gather = jax.jit(lambda store, idx: store[idx],
+                               out_shardings=sharding)
+
+    @property
+    def nbytes(self) -> int:
+        return self._store.nbytes
+
+    def batch(self, idx: np.ndarray):
+        """Device batch ``signals[idx]`` (batch-sharded, dispatch is
+        async so consecutive calls pipeline with the training steps)."""
+        return self._gather(self._store, np.asarray(idx, np.int32))
+
+
+def device_store_enabled(config, nbytes: int) -> bool:
+    """``auto``: single process + default backend is a real accelerator +
+    the arrays fit the configured HBM budget. ``on``/``off`` force it."""
+    mode = getattr(config, "device_store", "auto")
+    if mode == "off":
+        return False
+    if jax.process_count() > 1:
+        if mode == "on":
+            raise ValueError("--device_store on requires a single process "
+                             "(multi-host feeds per-process rows)")
+        return False
+    if mode == "on":
+        return True
+    budget = int(getattr(config, "device_store_mb", 4096)) * 2**20
+    return jax.default_backend() != "cpu" and nbytes <= budget
+
+
+# ---------------------------------------------------------------------------
 # device prefetch
 # ---------------------------------------------------------------------------
 

@@ -88,7 +88,7 @@ def focus_neurons(config):
 # ---------------------------------------------------------------------------
 
 def train_epoch(config, dataset, train_fn, state, summary: Summary,
-                epoch: int, run_key, mesh) -> Tuple:
+                epoch: int, run_key, mesh, store=None) -> Tuple:
     """One pass over the training set (parity: ``main.py:33-75``)."""
     import itertools
 
@@ -98,11 +98,20 @@ def train_epoch(config, dataset, train_fn, state, summary: Summary,
     # the same number of collectives even when record shards split unevenly
     local_bs = mesh_lib.local_batch_size(config.batch_size)
     steps = _epoch_steps(config.train_size, local_bs, drop_remainder=True)
-    batches = dataset.batches(local_bs, shuffle=True, rng=rng,
-                              drop_remainder=True)
-    signals_only = itertools.islice((s for s, _ in batches), steps)
-    prefetch = pipeline.DevicePrefetcher(
-        signals_only, lambda a: mesh_lib.put_batch(mesh, a))
+    if store is not None:
+        # device-resident signals: gather each batch in-graph. The shuffle
+        # consumes `rng` exactly like ArrayDataset.batches, so batch
+        # composition is bit-identical to the streaming path.
+        order = np.arange(len(dataset))
+        rng.shuffle(order)
+        prefetch = (store.batch(order[i * local_bs:(i + 1) * local_bs])
+                    for i in range(steps))
+    else:
+        batches = dataset.batches(local_bs, shuffle=True, rng=rng,
+                                  drop_remainder=True)
+        signals_only = itertools.islice((s for s, _ in batches), steps)
+        prefetch = pipeline.DevicePrefetcher(
+            signals_only, lambda a: mesh_lib.put_batch(mesh, a))
 
     all_logs = []
     start = time()
@@ -131,7 +140,7 @@ def train_epoch(config, dataset, train_fn, state, summary: Summary,
 
 
 def validate_epoch(config, dataset, eval_fn, state, summary: Summary,
-                   epoch: int, run_key, mesh) -> Dict[str, float]:
+                   epoch: int, run_key, mesh, store=None) -> Dict[str, float]:
     """One validation pass; saves generated signals per the
     ``--save_generated`` policy (parity: ``main.py:78-122``)."""
     # same cadence knob as sampling/checkpointing (--checkpoint_every;
@@ -149,15 +158,38 @@ def validate_epoch(config, dataset, eval_fn, state, summary: Summary,
     local_bs = mesh_lib.local_batch_size(config.batch_size)
     steps = _epoch_steps(config.validation_size, local_bs,
                          drop_remainder=False)
-    it = itertools.islice(dataset.batches(local_bs), steps)
-    for i, (signal, _) in enumerate(
+    if store is not None:
+        n = len(dataset)
+
+        def _store_batches():
+            for i in range(steps):
+                lo = i * local_bs
+                hi = min(n, lo + local_bs)
+                # pad by repeating the last real row — identical filler to
+                # mesh_lib.pad_to_multiple on the streaming path
+                idx = np.concatenate(
+                    [np.arange(lo, hi),
+                     np.full(local_bs - (hi - lo), hi - 1, np.int64)])
+                yield store.batch(idx), hi - lo
+
+        it = _store_batches()
+    else:
+        def _host_batches():
+            inner = itertools.islice(dataset.batches(local_bs), steps)
+            for signal, _ in inner:
+                signal, real_count = mesh_lib.pad_to_multiple(signal,
+                                                              local_bs)
+                yield mesh_lib.shard_batch(mesh, signal), real_count
+
+        it = _host_batches()
+    for i, (signal, real_count) in enumerate(
             _progress(it, "Validate", steps, config.verbose)):
-        signal, real_count = mesh_lib.pad_to_multiple(signal, local_bs)
         # row mask zero-weights the padded filler so every logged mean
-        # reduces exactly over the real rows
-        row_mask = np.zeros((signal.shape[0],), np.float32)
+        # reduces exactly over the real rows (local_bs local rows per
+        # process in both staging paths)
+        row_mask = np.zeros((local_bs,), np.float32)
         row_mask[:real_count] = 1.0
-        signal, row_mask = mesh_lib.shard_batch(mesh, signal, row_mask)
+        row_mask = mesh_lib.shard_batch(mesh, row_mask)
         step_key = jax.random.fold_in(run_key, 10**9 + epoch * steps + i)
         fake, logs = eval_fn(state, signal, step_key, row_mask)
         all_logs.append(logs)
@@ -209,6 +241,18 @@ def train_and_validate(config, train_ds, validation_ds, algo, fns, state,
     """Epoch loop (parity: ``main.py:125-165``)."""
     train_fn, eval_fn, generate_fn = fns
     run_key = jax.random.PRNGKey(config.seed)
+
+    # stage the signals on device once (the tunnel TPU client leaks every
+    # host->device upload's bytes host-side — see pipeline.DeviceStore);
+    # spikes are never consumed by the train/eval steps, so signals suffice
+    train_store = val_store = None
+    total_bytes = train_ds.signals.nbytes + validation_ds.signals.nbytes
+    if pipeline.device_store_enabled(config, total_bytes):
+        train_store = pipeline.DeviceStore(mesh, train_ds.signals)
+        val_store = pipeline.DeviceStore(mesh, validation_ds.signals)
+        if config.verbose:
+            print(f"device store: {total_bytes / 2**20:.0f} MB of signals "
+                  f"staged on the mesh (batches gather in-graph)")
     # fixed test noise (reference uses batch 1 — ``main.py:127``); padded to
     # the data-axis size so the jitted generate's batch sharding divides,
     # row 0 is the plotted sample
@@ -225,9 +269,11 @@ def train_and_validate(config, train_ds, validation_ds, algo, fns, state,
         start = time()
 
         state, train_logs = train_epoch(config, train_ds, train_fn, state,
-                                        summary, epoch, run_key, mesh)
+                                        summary, epoch, run_key, mesh,
+                                        store=train_store)
         val_logs = validate_epoch(config, validation_ds, eval_fn, state,
-                                  summary, epoch, run_key, mesh)
+                                  summary, epoch, run_key, mesh,
+                                  store=val_store)
 
         # reference hard-codes a 10-epoch cadence (main.py:141);
         # --checkpoint_every makes it configurable

@@ -64,6 +64,13 @@ def parse_args(argv=None) -> Config:
                              "over slice x data; only gradient all-reduces "
                              "cross the inter-slice link)")
     parser.add_argument("--checkpoint_every", default=10, type=int)
+    parser.add_argument("--device_store", default="auto",
+                        choices=["auto", "on", "off"],
+                        help="stage the dataset signals on device once and "
+                             "gather batches in-graph instead of streaming "
+                             "per-batch uploads (auto: single process + "
+                             "accelerator + fits --device_store_mb)")
+    parser.add_argument("--device_store_mb", default=4096, type=int)
     parser.add_argument("--distributed", action="store_true",
                         help="multi-host: call jax.distributed.initialize() "
                              "(coordinator from the standard JAX env vars); "

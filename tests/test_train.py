@@ -95,6 +95,38 @@ def test_main_return_metrics(tmp_path, rng):
     assert all(np.isfinite(v) for v in metrics.values())
 
 
+def test_device_store_matches_streaming(tmp_path, rng):
+    """--device_store stages signals on device and gathers batches in-graph
+    (pipeline.DeviceStore); training must be bit-identical to the streaming
+    DevicePrefetcher path — same shuffle source, same repeat-last-row
+    filler on the ragged validation tail."""
+    from main import parse_args
+    data = {"signals": rng.random((4, 800)).astype(np.float32),
+            "oasis": (rng.random((4, 800)) < 0.05).astype(np.float32)}
+    signals, spikes, meta = segments.preprocess(
+        data, 32, 8, do_normalize=True, is_dg_data=True)
+    input_dir = str(tmp_path / "records")
+    # validation_size 12 with batch 8 -> a ragged 4-row tail batch
+    segments.write_dataset(input_dir, signals, spikes, meta, 32, 8,
+                           validation_size=12, do_normalize=True,
+                           apply_fft=False, conv2d=False, verbose=0)
+    fakes = {}
+    for mode in ("off", "on"):
+        cfg = parse_args([
+            "--input_dir", input_dir,
+            "--output_dir", str(tmp_path / f"run_{mode}"),
+            "--batch_size", "8", "--num_units", "2", "--kernel_size", "4",
+            "--noise_dim", "4", "--epochs", "2", "--n_critic", "2",
+            "--model", "calciumgan", "--algorithm", "wgan-gp",
+            "--save_generated", "all", "--skip_checkpoints",
+            "--device_store", mode, "--verbose", "0"])
+        train_lib.main(cfg)
+        fakes[mode] = h5.get(os.path.join(
+            cfg.output_dir, "generated", "epoch001_signals.h5"), "signals")
+    assert fakes["on"].shape == (12, 32, 4)
+    np.testing.assert_array_equal(fakes["on"], fakes["off"])
+
+
 def make_variant_dataset(tmp_path, rng, apply_fft=False, conv2d=False,
                          n_neurons=4, T=800, sl=32, stride=8):
     data = {"signals": rng.random((n_neurons, T)).astype(np.float32),
