@@ -268,8 +268,10 @@ class DeviceStore:
         signals = np.asarray(signals)
         self.rows = len(signals)
         pad = -self.rows % mesh_lib.data_extent(mesh)
-        if pad:
-            signals = np.concatenate([signals, signals[:pad]], axis=0)
+        if pad:  # tile: datasets smaller than the data axis need repeats
+            reps = -(-pad // self.rows)
+            filler = np.concatenate([signals] * reps, axis=0)[:pad]
+            signals = np.concatenate([signals, filler], axis=0)
         sharding = mesh_lib.batch_sharding(mesh, signals.ndim)
         self._store = jax.device_put(signals, sharding)
         self._gather = jax.jit(lambda store, idx: store[idx],

@@ -185,6 +185,21 @@ def test_device_prefetcher(tmp_path, rng):
     assert count == len(train) // 8
 
 
+def test_device_store_smaller_than_data_axis(rng):
+    """Datasets with fewer rows than the mesh's batch-shard divisor must
+    tile their pad filler (a plain ``signals[:pad]`` comes up short and
+    device_put fails with an opaque shard-shape error)."""
+    from calciumgan_tpu.parallel import create_mesh
+
+    mesh = create_mesh(data_parallelism=8)
+    signals = rng.random((3, 16, 2)).astype(np.float32)
+    store = pipeline.DeviceStore(mesh, signals)
+    assert store.rows == 3
+    batch = np.asarray(store.batch(np.array([2, 0, 1, 2, 0, 1, 2, 0])))
+    np.testing.assert_array_equal(
+        batch, signals[[2, 0, 1, 2, 0, 1, 2, 0]])
+
+
 def test_device_prefetcher_propagates_worker_errors():
     def bad_iterator():
         yield np.zeros((2, 4), np.float32)
