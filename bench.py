@@ -136,16 +136,10 @@ def bench_oasis(T: int = 2048, n_traces: int = 16384):
     pipeline's TPU chunk size (spike_eval.deconvolve_file) so the number is
     the throughput users actually see per dispatch."""
     import jax.numpy as jnp
+    from calciumgan_tpu.ops.oasis_ref import synth_ar1_traces
 
-    rng = np.random.default_rng(1)
-    spikes = (rng.random((n_traces, T)) < 0.02).astype(np.float32)
-    # AR(1) synthesis on host so benchmark prep never waits on the tunnel
-    traces = np.empty_like(spikes)
-    acc = np.zeros(n_traces, np.float32)
-    for t in range(T):
-        acc = 0.95 * acc + spikes[:, t]
-        traces[:, t] = acc
-    traces += 0.3 * rng.standard_normal(traces.shape).astype(np.float32)
+    # host-side (numpy) synthesis so benchmark prep never waits on the tunnel
+    traces = synth_ar1_traces(np.random.default_rng(1), n_traces, T)
 
     if jax.default_backend() == "tpu":
         # the exact device program the eval pipeline dispatches per chunk

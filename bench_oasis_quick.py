@@ -18,15 +18,9 @@ from calciumgan_tpu.ops.oasis import deconvolve_signals
 
 
 def bench(n_traces, T=2048, reps=5):
-    rng = np.random.default_rng(1)
-    spikes = (rng.random((n_traces, T)) < 0.02).astype(np.float32)
-    # AR(1) synthesis on host (numpy) so data prep never waits on the tunnel
-    traces = np.empty_like(spikes)
-    acc = np.zeros(n_traces, np.float32)
-    for t in range(T):
-        acc = 0.95 * acc + spikes[:, t]
-        traces[:, t] = acc
-    traces += 0.3 * rng.standard_normal(traces.shape).astype(np.float32)
+    from calciumgan_tpu.ops.oasis_ref import synth_ar1_traces
+    # host-side (numpy) synthesis so data prep never waits on the tunnel
+    traces = synth_ar1_traces(np.random.default_rng(1), n_traces, T)
 
     @jax.jit
     def run(y, eps):

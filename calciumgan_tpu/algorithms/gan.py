@@ -174,6 +174,11 @@ class GAN:
             key, False, mask=mask)
         logs = {"loss/generator": gen_loss, "loss/discriminator": dis_loss}
         logs.update(self.metrics(real, fake, mask))
+        # see wgan_gp.eval_step: global real-row count for exact cross-batch
+        # weighting on ragged multi-host tails
+        logs["batch/real_rows"] = (
+            jnp.asarray(real.shape[0], jnp.float32) if mask is None
+            else jnp.sum(mask))
         return fake, logs
 
     def generate(self, state: GANState, noise, key=None, denorm: bool = False):

@@ -165,4 +165,11 @@ class WGAN_GP(GAN):
             "loss/gradient_penalty": gp,
         }
         logs.update(self.metrics(real, fake, mask))
+        # GLOBAL real-row count of this batch (mask sums over the whole
+        # sharded batch): the host epoch loop weights the cross-batch
+        # average with it — a process-local count would under-weight ragged
+        # multi-host tail batches whose real rows split unevenly
+        logs["batch/real_rows"] = (
+            jnp.asarray(real.shape[0], jnp.float32) if mask is None
+            else jnp.sum(mask))
         return fake, logs

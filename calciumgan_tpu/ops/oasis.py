@@ -135,12 +135,16 @@ def deconvolve_signals(signals: jnp.ndarray, g: float = 0.95,
     :mod:`calciumgan_tpu.ops.oasis_pallas`; 23-56k traces/s/chip at sl2048
     vs 444 for the while_loop path and 13.6k for the C++ host kernel),
     ``'while'`` (the exact ``lax.while_loop`` machine above), or ``'auto'``
-    (pallas on TPU, while elsewhere). Traces the Pallas kernel flags as
+    (pallas on TPU for traces up to ``_PALLAS_MAX_T`` — longer ones exceed
+    the kernel's VMEM window budget — while elsewhere). Traces the Pallas
+    kernel flags as
     unreliable (stack overflow / unresolved merges — rare by construction)
     are transparently recomputed with the exact path under a ``lax.cond``.
     """
+    T = signals.shape[-1]
     if backend == "auto":
-        backend = "pallas" if jax.default_backend() == "tpu" else "while"
+        on_tpu = jax.default_backend() == "tpu"
+        backend = "pallas" if on_tpu and T <= _PALLAS_MAX_T else "while"
     if backend == "while":
         _, s = oasis_ar1_jax(signals, g=g, lam=0.0, s_min=s_min)
     else:
@@ -176,6 +180,14 @@ def deconvolve_signals(signals: jnp.ndarray, g: float = 0.95,
 _DEPTH_LADDER = (96, 160, 256)
 _ESCALATE_FRAC = 0.10
 
+# Longest trace the fused Pallas kernel can hold: each grid step keeps
+# THREE (T, 128) float32 VMEM windows (fluorescence in, c and s out), and
+# Mosaic double-buffers blocks across grid steps, so the footprint is
+# ~6*T*128*4 B + the (depth, 128) stacks. T=4096 is ~12.6 MB against the
+# ~16 MB/core VMEM budget; whole-recording inputs (e.g. the 20k-frame
+# recordings spike_train_inference deconvolves) must take the exact paths.
+_PALLAS_MAX_T = 4096
+
 
 def deconvolve_signals_host(signals, g: float = 0.95, s_min: float = 0.55,
                             threshold: float = 0.5, depth: int | None = None):
@@ -195,25 +207,25 @@ def deconvolve_signals_host(signals, g: float = 0.95, s_min: float = 0.55,
     Args: signals (..., T) host array. Returns np.int8 of the same shape.
     """
     import numpy as np
-    from calciumgan_tpu.ops.oasis_pallas import oasis_ar1_pallas
 
     signals = np.asarray(signals, np.float32)
     interpret = jax.default_backend() != "tpu"
 
-    @functools.partial(jax.jit, static_argnames=("depth", "interpret"))
-    def run(y, depth, interpret):
-        _, s, redo = oasis_ar1_pallas(y, g=g, lam=0.0, s_min=s_min,
-                                      depth=depth, interpret=interpret)
-        return (s > threshold).astype(jnp.int8), redo
-
     T = signals.shape[-1]
+    if T > _PALLAS_MAX_T:
+        # whole-recording traces exceed the kernel's VMEM window budget
+        # (see _PALLAS_MAX_T) — the C++ OpenMP kernel handles them offline
+        flat = signals.reshape((-1, T))
+        exact = _exact_spikes_host(flat, g, s_min, threshold)
+        return exact.reshape(signals.shape)
     if depth is not None:
         ladder = (depth,)
     else:  # clamp to T and dedupe so short traces run one rung, not three
         ladder = tuple(dict.fromkeys(min(T, d) for d in _DEPTH_LADDER))
     dev = jax.device_put(signals)  # upload once; ladder retries reuse it
     for i, d in enumerate(ladder):
-        spikes_dev, redo_dev = run(dev, d, interpret)
+        spikes_dev, redo_dev = _pallas_spikes(dev, g, s_min, threshold, d,
+                                              interpret)
         flags_frac = float(np.asarray(jax.device_get(redo_dev)).mean())
         if flags_frac <= _ESCALATE_FRAC or i == len(ladder) - 1:
             break
@@ -227,6 +239,18 @@ def deconvolve_signals_host(signals, g: float = 0.95, s_min: float = 0.55,
         exact = _exact_spikes_host(flat[idx], g, s_min, threshold)
         spikes.reshape((-1, signals.shape[-1]))[idx] = exact
     return spikes
+
+
+@functools.partial(jax.jit, static_argnames=("g", "s_min", "threshold",
+                                              "depth", "interpret"))
+def _pallas_spikes(y, g, s_min, threshold, depth, interpret):
+    """Module-level jit: :func:`deconvolve_signals_host` calls this once per
+    chunk — a closure jitted inside the function would start a fresh trace
+    cache every call and recompile the same (chunk, T) program per chunk."""
+    from calciumgan_tpu.ops.oasis_pallas import oasis_ar1_pallas
+    _, s, redo = oasis_ar1_pallas(y, g=g, lam=0.0, s_min=s_min,
+                                  depth=depth, interpret=interpret)
+    return (s > threshold).astype(jnp.int8), redo
 
 
 def _exact_spikes_host(traces, g, s_min, threshold):

@@ -86,6 +86,21 @@ def oasis_ar1(y: np.ndarray, g: float = 0.95, lam: float = 0.0,
     return c, s
 
 
+def synth_ar1_traces(rng, n: int, T: int, g: float = 0.95,
+                     rate: float = 0.02, sn: float = 0.3) -> np.ndarray:
+    """Noisy AR(1) calcium traces from a Bernoulli spike train — the shared
+    host-side (numpy) input synthesizer for the OASIS benchmarks, kept in
+    one place so bench.py / bench_oasis_quick.py / tools/bench_oasis_depth.py
+    always measure identical inputs."""
+    spikes = (rng.random((n, T)) < rate).astype(np.float32)
+    traces = np.empty_like(spikes)
+    acc = np.zeros(n, np.float32)
+    for t in range(T):
+        acc = g * acc + spikes[:, t]
+        traces[:, t] = acc
+    return traces + sn * rng.standard_normal(traces.shape).astype(np.float32)
+
+
 def deconvolve_signals_ref(signals: np.ndarray, g: float = 0.95,
                            s_min: float = 0.55,
                            threshold: float = 0.5) -> np.ndarray:

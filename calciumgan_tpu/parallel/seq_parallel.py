@@ -172,13 +172,17 @@ def seq_parallel_generator(params, z, mesh: Mesh, axis: str, *,
                     "sequence-parallel generator does not support BatchNorm")
             if "LayerNorm_0" in norm:
                 ln = norm["LayerNorm_0"]
-                # nn.LayerNorm keeps statistics in f32 under half dtypes
+                # nn.LayerNorm runs the WHOLE normalization in f32 under
+                # half dtypes (stats, rsqrt, scale, bias — flax
+                # ``_normalize`` with force_float32_reductions) and casts
+                # only the result to the compute dtype
                 h32 = h.astype(jnp.float32)
                 mu = h32.mean(axis=-1, keepdims=True)
                 var = ((h32 - mu) ** 2).mean(axis=-1, keepdims=True)
-                mu, var = mu.astype(dtype), var.astype(dtype)
-                h = (h - mu) * lax.rsqrt(var + jnp.asarray(1e-3, dtype))
-                h = h * ln["scale"].astype(dtype) + ln["bias"].astype(dtype)
+                h32 = (h32 - mu) * lax.rsqrt(var + 1e-3)
+                h32 = (h32 * ln["scale"].astype(jnp.float32)
+                       + ln["bias"].astype(jnp.float32))
+                h = h32.astype(dtype)
             h = act(h)
 
         out = params["Dense_1"]

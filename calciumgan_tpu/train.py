@@ -192,8 +192,11 @@ def validate_epoch(config, dataset, eval_fn, state, summary: Summary,
         row_mask = mesh_lib.shard_batch(mesh, row_mask)
         step_key = jax.random.fold_in(run_key, 10**9 + epoch * steps + i)
         fake, logs = eval_fn(state, signal, step_key, row_mask)
+        # weight the cross-batch average by the GLOBAL real-row count the
+        # step computed from its mask (the local count under-weights ragged
+        # multi-host tail batches whose real rows split unevenly)
+        weights.append(logs.pop("batch/real_rows"))
         all_logs.append(logs)
-        weights.append(real_count)
         if save_generated:
             # each process writes its own rows of the global batch
             local = mesh_lib.local_rows(fake)
@@ -315,8 +318,8 @@ def test(config, validation_ds, eval_fn, state, mesh) -> Dict[str, float]:
         signal, row_mask = mesh_lib.shard_batch(mesh, signal, row_mask)
         _, logs = eval_fn(state, signal, jax.random.fold_in(key, i),
                           row_mask)
+        weights.append(logs.pop("batch/real_rows"))  # global real rows
         all_logs.append(logs)
-        weights.append(real_count)
     return _mean_logs(all_logs, weights=weights)
 
 

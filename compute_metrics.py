@@ -90,8 +90,9 @@ if __name__ == "__main__":
                         help="'cpu' forces the host CPU backend")
     parser.add_argument("--output_dir", default=S, help="(default: runs)")
     parser.add_argument("--num_processors", default=S, type=int,
-                        help="unused (kept for reference CLI parity; "
-                             "metrics run on-device)")
+                        help="max worker processes for the matplotlib "
+                             "render pool (metrics themselves run "
+                             "on-device); capped to the available cores")
     parser.add_argument("--all_epochs", action="store_true", default=S)
     parser.add_argument("--no_plots", action="store_true", default=False,
                         help="skip all matplotlib figures; compute and "
@@ -121,6 +122,11 @@ if __name__ == "__main__":
         import jax
         jax.config.update("jax_platforms", "cpu")
     del args.device
+    # persistent XLA cache: repeat evals (e.g. per-epoch sweeps re-run after
+    # a stall) skip the one-time per-shape compiles of the deconvolution and
+    # metric programs
+    from calciumgan_tpu.train import enable_compilation_cache
+    enable_compilation_cache()
 
     with_covariance = args.covariance
     with_victor_purpura = args.victor_purpura

@@ -89,4 +89,6 @@ if __name__ == "__main__":
     args = parser.parse_args()
     if args.device == "cpu":
         jax.config.update("jax_platforms", "cpu")
+    from calciumgan_tpu.train import enable_compilation_cache
+    enable_compilation_cache()  # rerun CLIs skip the per-shape compiles
     main(args)

@@ -119,6 +119,31 @@ def test_deconvolve_signals_host_escalates_depth(rng, monkeypatch):
     assert redone_rows == []
 
 
+def test_deconvolve_signals_host_reroutes_long_traces(rng, monkeypatch):
+    """Traces longer than _PALLAS_MAX_T exceed the fused kernel's VMEM
+    window budget (three (T, 128) f32 blocks, double-buffered); the host
+    driver must hand the WHOLE batch to the exact host path instead of
+    dispatching a kernel Mosaic cannot allocate."""
+    from calciumgan_tpu.ops import oasis as oasis_mod
+
+    y, _ = synth_traces(rng, n=6, T=192)
+    y = np.asarray(y, np.float32)
+    exact = np.asarray(deconvolve_signals(y, backend="while")).astype(np.int8)
+
+    routed = []
+    real_exact = oasis_mod._exact_spikes_host
+
+    def spy(traces, *args, **kwargs):
+        routed.append(len(traces))
+        return real_exact(traces, *args, **kwargs)
+
+    monkeypatch.setattr(oasis_mod, "_PALLAS_MAX_T", 128)
+    monkeypatch.setattr(oasis_mod, "_exact_spikes_host", spy)
+    out = oasis_mod.deconvolve_signals_host(y)
+    assert routed == [6]  # every trace took the exact path, no kernel call
+    np.testing.assert_array_equal(out, exact)
+
+
 def test_ar1_filter_matches_reference_loop(rng):
     # reference generate_dg_data.py:54-70 starts the recurrence at t=2
     spikes = (rng.random((4, 100)) < 0.1).astype(np.float32)

@@ -24,14 +24,8 @@ from calciumgan_tpu.ops.oasis_pallas import oasis_ar1_pallas  # noqa: E402
 
 def main(n_traces=16384, T=2048, reps=5):
     enable_compilation_cache()
-    rng = np.random.default_rng(1)
-    spikes = (rng.random((n_traces, T)) < 0.02).astype(np.float32)
-    traces = np.empty_like(spikes)
-    acc = np.zeros(n_traces, np.float32)
-    for t in range(T):
-        acc = 0.95 * acc + spikes[:, t]
-        traces[:, t] = acc
-    traces += 0.3 * rng.standard_normal(traces.shape).astype(np.float32)
+    from calciumgan_tpu.ops.oasis_ref import synth_ar1_traces
+    traces = synth_ar1_traces(np.random.default_rng(1), n_traces, T)
     dev = jax.device_put(traces)
 
     for depth in (128, 96, 64):
