@@ -26,7 +26,6 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -90,6 +89,13 @@ def halo_conv1d_local(x_local: jnp.ndarray, kernel: jnp.ndarray, stride: int,
     K = kernel.shape[0]
     if K < stride:
         raise ValueError(f"kernel {K} < stride {stride} is unsupported")
+    if x_local.shape[1] % stride:
+        # enforce the documented alignment precondition (module doc: SAME
+        # output splits evenly only when W_shard % stride == 0) — a silent
+        # pass here returns a misaligned, wrong-width conv
+        raise ValueError(
+            f"shard width {x_local.shape[1]} not divisible by stride "
+            f"{stride}: choose n_shards so every shard is stride-aligned")
     left, right = halo_sizes(K, stride)
     x_ext = exchange_halos(x_local, left, right, axis, n_shards)
     return lax.conv_general_dilated(

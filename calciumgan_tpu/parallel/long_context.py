@@ -47,8 +47,16 @@ def create_time_mesh(data_parallelism: int = 1, time_parallelism: int = -1,
                              f"data_parallelism {data_parallelism}")
         time_parallelism = len(devices) // data_parallelism
     n = data_parallelism * time_parallelism
-    mesh_devices = np.array(devices[:n]).reshape(
-        (data_parallelism, time_parallelism))
+    if n > len(devices):
+        raise ValueError(f"mesh needs {n} devices "
+                         f"({data_parallelism} data x {time_parallelism} "
+                         f"time), have {len(devices)}")
+    # topology-aware assignment (like create_mesh): the time axis carries a
+    # per-conv-layer ppermute halo ring, so it must follow the ICI torus,
+    # not raw enumeration order
+    from jax.experimental import mesh_utils
+    mesh_devices = mesh_utils.create_device_mesh(
+        (data_parallelism, time_parallelism), devices=devices[:n])
     return Mesh(mesh_devices, (DATA_AXIS, TIME_AXIS))
 
 

@@ -43,7 +43,16 @@ def create_mesh(data_parallelism: int = -1, model_parallelism: int = 1,
     if n > len(devices):
         raise ValueError(f"mesh needs {n} devices, have {len(devices)}")
     if slices > 1:
-        mesh_devices = np.array(devices[:n]).reshape(
+        # each mesh slice group draws from ONE physical slice's contiguous
+        # device block (jax.devices() enumerates slice-by-slice): a flat
+        # devices[:n] reshape with a sub-slice data extent would build
+        # groups straddling physical slice boundaries, silently routing
+        # "in-slice" collectives over the order-of-magnitude-slower DCN
+        group = data_parallelism * model_parallelism  # <= per_slice: the
+        # "mesh needs N devices" check above already bounds slices * group
+        blocks = [devices[s * per_slice:s * per_slice + group]
+                  for s in range(slices)]
+        mesh_devices = np.array(blocks).reshape(
             (slices, data_parallelism, model_parallelism))
         return Mesh(mesh_devices, (SLICE_AXIS, DATA_AXIS, MODEL_AXIS))
     mesh_devices = mesh_utils.create_device_mesh(
@@ -231,6 +240,7 @@ def local_rows(array) -> np.ndarray:
                     else array.shape[0]) for s in shards)
     out = np.empty((row_stop - row_start,) + array.shape[1:],
                    dtype=array.dtype)
+    written = np.zeros((row_stop - row_start,), bool)
     for s in shards:
         idx = list(s.index)
         r = idx[0]
@@ -238,6 +248,15 @@ def local_rows(array) -> np.ndarray:
                      (r.stop if r.stop is not None else array.shape[0])
                      - row_start)
         out[(rows,) + tuple(idx[1:])] = np.asarray(jax.device_get(s.data))
+        written[rows] = True
+    # guard the contiguity assumption: if the device-mesh layout ever gives
+    # this process non-adjacent row blocks, fail loudly instead of returning
+    # np.empty garbage in the gap rows
+    if not written.all():
+        raise AssertionError(
+            "local_rows: this process's shards do not cover a contiguous "
+            f"row block (rows {row_start}:{row_stop}, "
+            f"{int((~written).sum())} gap rows)")
     return out
 
 

@@ -280,6 +280,26 @@ def test_multi_slice_dcn_mesh_matches_single_device():
                                rtol=1e-4)
 
 
+def test_slice_groups_stay_within_physical_blocks():
+    """With a sub-slice data extent, each mesh slice group must draw from
+    its own physical slice's contiguous device block (jax.devices()
+    enumerates slice-by-slice) — a flat devices[:n] reshape would build
+    'in-slice' groups straddling the slow DCN boundary."""
+    devices = jax.devices()
+    mesh = create_mesh(data_parallelism=3, model_parallelism=1, slices=2)
+    groups = [[d.id for d in row.ravel()] for row in mesh.devices]
+    assert groups == [[d.id for d in devices[0:3]],
+                      [d.id for d in devices[4:7]]]
+    with pytest.raises(ValueError, match="mesh needs"):
+        create_mesh(data_parallelism=5, model_parallelism=1, slices=2)
+
+
+def test_create_time_mesh_rejects_oversized_request():
+    from calciumgan_tpu.parallel.long_context import create_time_mesh
+    with pytest.raises(ValueError, match="mesh needs"):
+        create_time_mesh(2, 8)  # 16 > the 8 faked devices
+
+
 def test_unrolled_critic_matches_scan():
     """--unroll_critic is pure scheduling: identical math to the lax.scan
     critic loop (and makes XLA's cost analysis count every iteration)."""

@@ -46,3 +46,17 @@ def test_halo_conv_rejects_kernel_smaller_than_stride(rng):
                        NamedSharding(mesh, P()))
     with pytest.raises(ValueError, match="unsupported"):
         fn(x, k)
+
+
+def test_halo_conv_rejects_stride_misaligned_shards(rng):
+    """W=240 over 8 shards gives Ws=30, not divisible by stride 4: the
+    sharded SAME conv cannot split the output evenly and must raise rather
+    than return a silently misaligned result."""
+    mesh = create_mesh(8, 1)
+    fn = make_halo_conv1d(mesh, DATA_AXIS, stride=4)
+    x = jax.device_put(rng.normal(size=(1, 240, 2)).astype(np.float32),
+                       NamedSharding(mesh, P(None, DATA_AXIS, None)))
+    k = jax.device_put(rng.normal(size=(8, 2, 2)).astype(np.float32),
+                       NamedSharding(mesh, P()))
+    with pytest.raises(ValueError, match="not divisible by stride"):
+        fn(x, k)
