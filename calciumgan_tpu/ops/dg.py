@@ -271,8 +271,13 @@ def _solve_pair_correlations(gauss_means: jnp.ndarray,
         fr = jnp.where(done, fr, fm)
         return lo, hi, root, fr
 
+    # seed with the first midpoint's bracket already applied — seeding
+    # (lo0, hi0, mid0, f(mid0)) would make the first loop trip recompute
+    # f at the same midpoint, wasting one full quadrature sweep
     mid0 = 0.5 * (lo0 + hi0)
-    state = (lo0, hi0, mid0, f(mid0))
+    fm0 = f(mid0)
+    state = (jnp.where(fm0 < 0, mid0, lo0), jnp.where(fm0 > 0, mid0, hi0),
+             mid0, fm0)
     _, _, root, _ = lax.fori_loop(0, maxiters, body, state)
 
     root = jnp.where(jnp.abs(f0) < tol, lo0, root)

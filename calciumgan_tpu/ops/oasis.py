@@ -31,7 +31,7 @@ import jax.numpy as jnp
 from jax import lax
 
 __all__ = ["oasis_ar1_jax", "deconvolve_signals", "deconvolve_signals_host",
-           "ar1_filter"]
+           "ar1_filter", "first_order_recurrence"]
 
 
 def _oasis_single(y: jnp.ndarray, g: float, lam: float, s_min: float):
@@ -268,6 +268,24 @@ def _exact_spikes_host(traces, g, s_min, threshold):
     return (np.asarray(jax.device_get(s_w)) > threshold).astype(np.int8)
 
 
+def first_order_recurrence(a: jnp.ndarray, b: jnp.ndarray, axis: int = -1,
+                           reverse: bool = False):
+    """Solve ``c[t] = a[t] * c[t-1] + b[t]`` (with ``c`` before the first
+    element = 0; time flipped when ``reverse``) as a log-depth
+    ``associative_scan`` over the composition of affine maps
+    ``x -> x*a + b``. Returns ``(a_prod, c)``. Shared by :func:`ar1_filter`
+    and the van Rossum decay kernel
+    (:mod:`calciumgan_tpu.ops.spike_metrics`)."""
+    def combine(lhs, rhs):
+        a1, b1 = lhs
+        a2, b2 = rhs
+        return a1 * a2, b1 * a2 + b2
+
+    if reverse and axis < 0:  # associative_scan(reverse) needs axis >= 0
+        axis += b.ndim
+    return lax.associative_scan(combine, (a, b), axis=axis, reverse=reverse)
+
+
 def ar1_filter(spikes: jnp.ndarray, g=(0.95,), axis: int = -1) -> jnp.ndarray:
     """Spikes -> calcium via the AR recurrence, as a log-depth parallel scan.
 
@@ -282,6 +300,10 @@ def ar1_filter(spikes: jnp.ndarray, g=(0.95,), axis: int = -1) -> jnp.ndarray:
     on TPU instead of O(T).
     """
     spikes = jnp.asarray(spikes)
+    if not jnp.issubdtype(spikes.dtype, jnp.floating):
+        # int/bool spike trains (e.g. the int8 `spikes` h5 datasets) would
+        # truncate g to 0 in the affine maps and silently skip the decay
+        spikes = spikes.astype(jnp.float32)
     g = tuple(float(x) for x in (g if hasattr(g, "__len__") else (g,)))
     x = jnp.moveaxis(spikes, axis, -1)
 
@@ -289,14 +311,7 @@ def ar1_filter(spikes: jnp.ndarray, g=(0.95,), axis: int = -1) -> jnp.ndarray:
         if x.shape[-1] >= 2:
             x = x.at[..., 1].add(-g[0] * x[..., 0])
         a = jnp.full(x.shape, g[0], x.dtype)
-        b = x
-
-        def combine(lhs, rhs):
-            a1, b1 = lhs
-            a2, b2 = rhs
-            return a1 * a2, b1 * a2 + b2
-
-        _, c = lax.associative_scan(combine, (a, b), axis=-1)
+        _, c = first_order_recurrence(a, x, axis=-1)
     else:
         g1, g2 = g
 

@@ -32,7 +32,15 @@ def batch_weighted_mean(x: jnp.ndarray, mask=None) -> jnp.ndarray:
 def kl_divergence(real: jnp.ndarray, fake: jnp.ndarray,
                   mask=None) -> jnp.ndarray:
     """Keras KLD semantics: sum over last axis of y_true*log(y_true/y_pred),
-    clipped to [eps, 1], then mean."""
+    clipped to [eps, 1], then mean.
+
+    NOT the same recipe as :func:`calciumgan_tpu.ops.spike_metrics.\
+kl_divergence` (30-bin histogram KL with zeros replaced by 1e-10, plain
+    sum) — they share a name because each mirrors its reference counterpart
+    (``signals_metrics.py:31-35`` vs ``compute_metrics.py:89-112``); don't
+    swap one for the other. Defined for reference-surface parity; the train
+    loop logs only the min/max/mean/std errors (``gan.py:36-41``), as the
+    reference does."""
     p = jnp.clip(real, _EPS, 1.0)
     q = jnp.clip(fake, _EPS, 1.0)
     return batch_weighted_mean(jnp.sum(p * jnp.log(p / q), axis=-1), mask)

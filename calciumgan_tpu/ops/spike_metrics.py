@@ -111,18 +111,12 @@ def _apply_decay_kernel(y: jnp.ndarray, rho: float) -> jnp.ndarray:
     (K y)_t = fwd_t + bwd_t - y_t with fwd/bwd the first-order recurrences
     fwd_t = y_t + rho*fwd_{t-1} — two log-depth ``associative_scan``s.
     O(T) work per trace instead of the O(T^2) matmul row."""
+    from calciumgan_tpu.ops.oasis import first_order_recurrence
+
     rho = jnp.asarray(rho, y.dtype)
-
-    def combine(lhs, rhs):
-        a1, b1 = lhs
-        a2, b2 = rhs
-        return a1 * a2, b1 * a2 + b2
-
     decay = jnp.broadcast_to(rho, y.shape)
-    axis = y.ndim - 1  # reverse=True requires a nonnegative axis
-    _, fwd = lax.associative_scan(combine, (decay, y), axis=axis)
-    _, bwd = lax.associative_scan(combine, (decay, y), axis=axis,
-                                  reverse=True)
+    _, fwd = first_order_recurrence(decay, y, axis=-1)
+    _, bwd = first_order_recurrence(decay, y, axis=-1, reverse=True)
     return fwd + bwd - y
 
 

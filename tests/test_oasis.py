@@ -154,6 +154,17 @@ def test_ar1_filter_matches_reference_loop(rng):
     np.testing.assert_allclose(out, ref, atol=1e-5)
 
 
+def test_ar1_filter_casts_integer_spikes(rng):
+    """int8/bool spike trains (the on-disk `spikes` dataset dtype) must get
+    the same AR(1) decay as float input — without the internal cast the
+    affine maps truncate g to 0 and return the spikes unchanged."""
+    spikes = (rng.random((3, 64)) < 0.1).astype(np.int8)
+    out_int = np.asarray(ar1_filter(spikes, g=0.95))
+    out_float = np.asarray(ar1_filter(spikes.astype(np.float32), g=0.95))
+    np.testing.assert_allclose(out_int, out_float, atol=1e-6)
+    assert out_int.dtype.kind == "f"
+
+
 def test_ar2_filter_matches_reference_loop(rng):
     spikes = (rng.random((4, 100)) < 0.1).astype(np.float32)
     ref = spikes.copy()
