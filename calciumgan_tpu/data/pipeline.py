@@ -107,7 +107,11 @@ def _read_shards(pattern: str, signal_shape, spike_shape,
         f".{tag}.cache-{process_index:03d}-of-{process_count:03d}")
     sig_npy, spk_npy = cache_base + ".signals.npy", cache_base + ".spikes.npy"
     if (os.path.exists(sig_npy) and os.path.exists(spk_npy)
-            and os.path.getmtime(sig_npy) >= newest):
+            # BOTH files must postdate the records: a run killed between
+            # the two os.replace calls below leaves fresh signals paired
+            # with stale spikes, which lengths alone would not catch
+            and min(os.path.getmtime(sig_npy),
+                    os.path.getmtime(spk_npy)) >= newest):
         return ArrayDataset(np.load(sig_npy, mmap_mode="r"),
                             np.load(spk_npy, mmap_mode="r"))
     # multi-host: record-level interleaving over ALL shards — every process
@@ -172,7 +176,10 @@ def load_surrogate_datasets(config) -> Tuple[ArrayDataset, ArrayDataset]:
         config.signals_max - config.signals_min)
     spikes = np.asarray(data["spikes"], np.float32)
 
-    train_size = 8192
+    # reference splits at 8192 but records the ACTUAL split length
+    # (dataset_helper.py:78-82: train_size = len(signals[:8192])) — a
+    # smaller pickle must not inflate train_size past the data
+    train_size = min(8192, len(signals))
     config.train_size = train_size
     config.validation_size = len(signals) - train_size
 

@@ -146,7 +146,9 @@ def write_dataset(output_dir: str, signals: np.ndarray, spikes: np.ndarray,
     shard_counts = {}
     for mode, idx in (("train", indexes[:train_size]),
                       ("validation", indexes[train_size:])):
-        n_shards = 1 if per_shard == 0 else ceil(len(idx) / per_shard)
+        # max(1, ...): an empty split (e.g. validation_size=0) still writes
+        # one empty shard instead of divmod-by-zero inside split()
+        n_shards = 1 if per_shard == 0 else max(1, ceil(len(idx) / per_shard))
         shard_counts[mode] = n_shards
         for shard, shard_idx in enumerate(split(idx, n_shards)):
             filename = os.path.join(

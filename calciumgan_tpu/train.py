@@ -198,9 +198,12 @@ def validate_epoch(config, dataset, eval_fn, state, summary: Summary,
         weights.append(logs.pop("batch/real_rows"))
         all_logs.append(logs)
         if save_generated:
-            # each process writes its own rows of the global batch
+            # each process writes its own rows of the global batch; the
+            # first batch replaces any file left by a pre-crash run of the
+            # same epoch (h5 writes append)
             local = mesh_lib.local_rows(fake)
-            io.save_fake_signals(config, epoch, local[:real_count])
+            io.save_fake_signals(config, epoch, local[:real_count],
+                                 append=i > 0)
     elapse = time() - start
 
     logs = _mean_logs(all_logs, weights=weights)

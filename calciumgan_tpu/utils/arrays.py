@@ -22,9 +22,17 @@ def get_array_format(shape, config) -> str:
         raise ValueError(
             "array-format inference is ambiguous: sequence_length == "
             f"num_neurons == {config.sequence_length}")
-    return "".join(
+    fmt = "".join(
         "W" if s == config.sequence_length else
         "C" if s == config.num_neurons else "N" for s in shape)
+    # a batch dim that collides with W or C would duplicate the tag and
+    # silently transpose wrongly (current.index picks the first match)
+    if fmt.count("W") > 1 or fmt.count("C") > 1:
+        raise ValueError(
+            f"array-format inference is ambiguous for shape {tuple(shape)}: "
+            f"inferred {fmt!r} (a batch dim equals sequence_length or "
+            "num_neurons)")
+    return fmt
 
 
 def set_array_format(array: np.ndarray, data_format: str,

@@ -51,8 +51,12 @@ def save(ckpt_dir: str, epoch: int, state: Any, config=None,
     meta = {"epoch": epoch}
     if config is not None:
         meta["global_step"] = int(config.global_step)
-    with open(os.path.join(ckpt_dir, "latest.json"), "w") as f:
+    # same tmp+replace discipline as the msgpack: a crash mid-write must
+    # not leave truncated JSON that blocks every future auto-resume
+    latest = os.path.join(ckpt_dir, "latest.json")
+    with open(latest + ".tmp", "w") as f:
         json.dump(meta, f)
+    os.replace(latest + ".tmp", latest)
     if verbose:
         print(f"Saved checkpoint to {path}")
     return path
@@ -116,7 +120,10 @@ def resume(config, template: Any) -> Any:
         config.start_epoch = epoch + 1
         meta_path = os.path.join(config.ckpt_dir, "latest.json")
         if os.path.exists(meta_path):
-            with open(meta_path) as f:
-                config.global_step = json.load(f).get(
-                    "global_step", config.global_step)
+            try:
+                with open(meta_path) as f:
+                    config.global_step = json.load(f).get(
+                        "global_step", config.global_step)
+            except (json.JSONDecodeError, OSError):
+                pass  # pre-fix files could be truncated; resume still works
     return state

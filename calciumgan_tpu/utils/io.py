@@ -17,7 +17,10 @@ from calciumgan_tpu.data.pipeline import reverse_preprocessing
 from calciumgan_tpu.utils import h5
 
 
-def save_fake_signals(config, epoch: int, signals) -> str:
+def save_fake_signals(config, epoch: int, signals, append: bool = True) -> str:
+    """``append=False`` on an epoch's FIRST batch: a crash-resumed run that
+    re-validates an already-saved epoch must replace the file — h5.write
+    appends to existing datasets, which would silently double every row."""
     import jax
     signals = reverse_preprocessing(config, np.asarray(signals))
     # multi-host: each process appends its rows to its own shard file so
@@ -26,6 +29,8 @@ def save_fake_signals(config, epoch: int, signals) -> str:
               if jax.process_count() > 1 else "")
     filename = os.path.join(config.generated_dir,
                             f"epoch{epoch:03d}_signals.h5{suffix}")
+    if not append and os.path.exists(filename):
+        os.remove(filename)
     h5.write(filename, {"signals": signals.astype(np.float32)})
 
     # info.pkl is maintained by process 0 only (a shared-filesystem
@@ -37,9 +42,9 @@ def save_fake_signals(config, epoch: int, signals) -> str:
         if os.path.exists(info_filename):
             with open(info_filename, "rb") as f:
                 info = pickle.load(f)
-        if epoch not in info:
-            info[epoch] = {"global_step": config.global_step,
-                           "filename": filename}
+        entry = {"global_step": config.global_step, "filename": filename}
+        if info.get(epoch) != entry:  # new epoch, or re-run after resume
+            info[epoch] = entry
             tmp = info_filename + ".tmp"
             with open(tmp, "wb") as f:
                 pickle.dump(info, f)
@@ -72,9 +77,16 @@ def cache_validation_set(config, validation) -> None:
     if config.validation_cache is None or \
             os.path.exists(config.validation_cache):
         return
+    # stage + atomic rename: the batch loop appends incrementally, and a
+    # run killed mid-loop must not leave a truncated cache that the
+    # exists() guard above would silently reuse forever
+    tmp = config.validation_cache + ".tmp"
+    if os.path.exists(tmp):
+        os.remove(tmp)
     for signals, spikes in validation.batches(config.batch_size):
-        h5.write(config.validation_cache, {
+        h5.write(tmp, {
             "signals": reverse_preprocessing(config, signals).astype(
                 np.float32),
             "spikes": spikes.astype(np.int8),
         })
+    os.replace(tmp, config.validation_cache)

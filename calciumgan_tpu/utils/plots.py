@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import io
 import os
+import struct
 import warnings
 from typing import Any, Dict, Tuple
 
@@ -264,7 +265,9 @@ def render_and_save(kind: str, payload: Dict[str, Any],
     buf = io.BytesIO()
     fig.savefig(buf, dpi=90, format="png", facecolor="white")
     png = buf.getvalue()
-    w, h = fig.canvas.get_width_height()
+    # dimensions from the PNG's IHDR chunk: the canvas reports the figure's
+    # default-dpi size, ~11% larger than the dpi=90 render above
+    w, h = struct.unpack(">II", png[16:24])
     if meta.get("png_path"):
         os.makedirs(os.path.dirname(meta["png_path"]), exist_ok=True)
         fig.savefig(meta["png_path"], dpi=meta["dpi"], format="png",

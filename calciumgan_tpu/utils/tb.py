@@ -21,6 +21,7 @@ Proto schema (field numbers from tensorboard/compat/proto):
 
 from __future__ import annotations
 
+import itertools
 import os
 import socket
 import struct
@@ -90,11 +91,18 @@ def histogram_proto(values: np.ndarray) -> bytes:
 class EventWriter:
     """Append-only writer for one TensorBoard logdir."""
 
+    _seq = itertools.count()  # distinct names within one process
+
     def __init__(self, logdir: str):
         os.makedirs(logdir, exist_ok=True)
+        # pid + per-process counter: two writers created in the same second
+        # (eval rerun after a crash, parallel sweeps on one host) must not
+        # compute the same name — the 'wb' open would truncate the first
+        # writer's events (TF appends a uid for the same reason)
         filename = os.path.join(
             logdir,
-            f"events.out.tfevents.{int(time.time())}.{socket.gethostname()}")
+            f"events.out.tfevents.{int(time.time())}."
+            f"{socket.gethostname()}.{os.getpid()}.{next(self._seq)}")
         self._writer = TFRecordWriter(filename)
         self._lock = threading.Lock()
         self._write(_event(_len_field(3, b"brain.Event:2"), 0, time.time()))

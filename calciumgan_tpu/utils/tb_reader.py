@@ -48,8 +48,9 @@ def read_scalars(logdir_or_file: str) -> Dict[str, Dict[int, float]]:
                                 pairs.append((tag, value))
                 for tag, value in pairs:
                     series[tag][step] = value
-        except (OSError, ValueError, IndexError):
-            continue  # truncated file from a preempted run
+        except (OSError, ValueError, IndexError, struct.error):
+            continue  # truncated file from a preempted run (struct.error:
+            # a record cut mid-payload yields a <4-byte float slice)
     return dict(series)
 
 

@@ -155,6 +155,36 @@ def test_array_format_roundtrip():
     assert arrays.swap_neuron_major(cfg, y).shape == (3, 5, 7)
 
 
+def test_array_format_rejects_colliding_batch_dim():
+    """A batch/trial dim equal to num_neurons (or sequence_length) makes the
+    layout inference ambiguous — it must raise, not silently transpose."""
+    cfg = Config(sequence_length=16, num_neurons=3, validation_size=3)
+    with pytest.raises(ValueError, match="ambiguous"):
+        arrays.get_array_format((3, 16, 3), cfg)  # N == C == 3
+
+
+def test_save_fake_signals_replaces_on_epoch_rerun(tmp_path):
+    """A crash-resumed run that re-validates an already-saved epoch must
+    REPLACE the epoch file (h5 writes append): append=False on the first
+    batch, append=True within the epoch."""
+    from calciumgan_tpu.utils import io as io_utils
+
+    cfg = Config(output_dir=str(tmp_path), normalize=False, fft=False,
+                 conv2d=False, global_step=10)
+    cfg.generated_dir = str(tmp_path / "generated")
+    os.makedirs(cfg.generated_dir)
+    x = np.random.default_rng(0).random((4, 8, 2)).astype(np.float32)
+    io_utils.save_fake_signals(cfg, 3, x, append=False)
+    io_utils.save_fake_signals(cfg, 3, x, append=True)  # same-epoch batch 2
+    path = os.path.join(cfg.generated_dir, "epoch003_signals.h5")
+    assert len(h5.get(path, "signals")) == 8
+    cfg.global_step = 20  # resumed run re-validates the epoch
+    io_utils.save_fake_signals(cfg, 3, x, append=False)
+    assert len(h5.get(path, "signals")) == 4  # replaced, not 12
+    info = io_utils.load_generated_info(cfg)
+    assert info[3]["global_step"] == 20  # stale entry refreshed
+
+
 def test_remove_nan():
     a = np.array([1.0, np.nan, 2.0])
     np.testing.assert_array_equal(arrays.remove_nan(a), [1.0, 2.0])
