@@ -135,11 +135,14 @@ def _read_shards(pattern: str, signal_shape, spike_shape,
             f"process {process_index}/{process_count} received no records "
             f"for {pattern}")
     signals, spikes = np.stack(signals), np.stack(spikes)
-    try:  # best-effort cache write (atomic)
-        np.save(sig_npy + ".tmp.npy", signals)
-        np.save(spk_npy + ".tmp.npy", spikes)
-        os.replace(sig_npy + ".tmp.npy", sig_npy)
-        os.replace(spk_npy + ".tmp.npy", spk_npy)
+    try:  # best-effort cache write (atomic; tmp names unique per writer —
+        # search.py --parallel threads decode concurrently and a shared tmp
+        # path could promote a torn file)
+        uid = f".tmp.{os.getpid()}.{threading.get_ident()}.npy"
+        np.save(sig_npy + uid, signals)
+        np.save(spk_npy + uid, spikes)
+        os.replace(sig_npy + uid, sig_npy)
+        os.replace(spk_npy + uid, spk_npy)
     except OSError:
         pass
     return ArrayDataset(signals, spikes)

@@ -68,11 +68,21 @@ def deconvolve_file(config, filename: str, chunk: int = 0) -> None:
         per_trial = max(1, int(getattr(config, "num_neurons", 1) or 1))
         target = 16384 if jax.default_backend() == "tpu" else 512
         chunk = max(1, target // per_trial)
-    staging = "_spikes_partial"
+    # the chunk size rides in the staging name: chunk-boundary arithmetic
+    # below is only sound against appends of the SAME size, and a resume on
+    # a different backend (TPU 16384-trace dispatches vs CPU 512) computes
+    # different chunks — mismatched partials restart cleanly
+    staging = f"_spikes_partial_c{chunk}"
+    for stale in h5.keys(filename):
+        if stale.startswith("_spikes_partial") and stale != staging:
+            h5.delete(filename, stale)
     done = 0
     if h5.contains(filename, staging):
-        # resume; re-do the tail chunk in case its append was torn
-        done = (h5.get_dataset_length(filename, staging) // chunk) * chunk
+        # resume; unconditionally re-do the LAST chunk: h5 appends resize
+        # before writing data, so a kill can leave a chunk-ALIGNED length
+        # whose final chunk reads back as fill-value zeros
+        done = max(0, (h5.get_dataset_length(filename, staging) // chunk - 1)
+                   * chunk)
         h5.truncate(filename, staging, done)
     for start in range(done, n, chunk):
         signals = h5.get(filename, "signals", start=start,

@@ -139,6 +139,30 @@ def train_epoch(config, dataset, train_fn, state, summary: Summary,
     return state, logs
 
 
+def _validation_batches(dataset, mesh, local_bs: int, steps: int,
+                        store=None):
+    """(sharded signal batch, local real_count) pairs for one validation
+    pass — in-graph device-store gathers when staged, host streaming
+    otherwise. Tail batches pad by repeating the last real row (identical
+    filler on both paths)."""
+    import itertools
+
+    if store is not None:
+        n = len(dataset)
+        for i in range(steps):
+            lo = i * local_bs
+            hi = min(n, lo + local_bs)
+            idx = np.concatenate(
+                [np.arange(lo, hi),
+                 np.full(local_bs - (hi - lo), hi - 1, np.int64)])
+            yield store.batch(idx), hi - lo
+    else:
+        inner = itertools.islice(dataset.batches(local_bs), steps)
+        for signal, _ in inner:
+            signal, real_count = mesh_lib.pad_to_multiple(signal, local_bs)
+            yield mesh_lib.shard_batch(mesh, signal), real_count
+
+
 def validate_epoch(config, dataset, eval_fn, state, summary: Summary,
                    epoch: int, run_key, mesh, store=None) -> Dict[str, float]:
     """One validation pass; saves generated signals per the
@@ -151,37 +175,12 @@ def validate_epoch(config, dataset, eval_fn, state, summary: Summary,
          (epoch % every == 0 or epoch == config.epochs - 1)) or
         (config.save_generated == "last" and epoch == config.epochs - 1))
 
-    import itertools
-
     all_logs, weights = [], []
     start = time()
     local_bs = mesh_lib.local_batch_size(config.batch_size)
     steps = _epoch_steps(config.validation_size, local_bs,
                          drop_remainder=False)
-    if store is not None:
-        n = len(dataset)
-
-        def _store_batches():
-            for i in range(steps):
-                lo = i * local_bs
-                hi = min(n, lo + local_bs)
-                # pad by repeating the last real row — identical filler to
-                # mesh_lib.pad_to_multiple on the streaming path
-                idx = np.concatenate(
-                    [np.arange(lo, hi),
-                     np.full(local_bs - (hi - lo), hi - 1, np.int64)])
-                yield store.batch(idx), hi - lo
-
-        it = _store_batches()
-    else:
-        def _host_batches():
-            inner = itertools.islice(dataset.batches(local_bs), steps)
-            for signal, _ in inner:
-                signal, real_count = mesh_lib.pad_to_multiple(signal,
-                                                              local_bs)
-                yield mesh_lib.shard_batch(mesh, signal), real_count
-
-        it = _host_batches()
+    it = _validation_batches(dataset, mesh, local_bs, steps, store=store)
     for i, (signal, real_count) in enumerate(
             _progress(it, "Validate", steps, config.verbose)):
         # row mask zero-weights the padded filler so every logged mean
@@ -300,25 +299,25 @@ def train_and_validate(config, train_ds, validation_ds, algo, fns, state,
                       val_logs.get("loss/generator", float("nan")),
                       val_logs.get("loss/discriminator", float("nan")),
                       (time() - start) / 60))
-    return state
+    return state, val_store
 
 
-def test(config, validation_ds, eval_fn, state, mesh) -> Dict[str, float]:
+def test(config, validation_ds, eval_fn, state, mesh,
+         store=None) -> Dict[str, float]:
     """Final metric aggregation for hparam search (parity:
-    ``main.py:168-181``)."""
-    import itertools
-
+    ``main.py:168-181``). Reuses the validation DeviceStore when one was
+    staged — streaming here would re-upload the whole validation set per
+    experiment through the leaky hosted-device client."""
     key = jax.random.PRNGKey(config.seed + 777)
     local_bs = mesh_lib.local_batch_size(config.batch_size)
     steps = _epoch_steps(config.validation_size, local_bs,
                          drop_remainder=False)
     all_logs, weights = [], []
-    for i, (signal, _) in enumerate(
-            itertools.islice(validation_ds.batches(local_bs), steps)):
-        signal, real_count = mesh_lib.pad_to_multiple(signal, local_bs)
-        row_mask = np.zeros((signal.shape[0],), np.float32)
+    for i, (signal, real_count) in enumerate(_validation_batches(
+            validation_ds, mesh, local_bs, steps, store=store)):
+        row_mask = np.zeros((local_bs,), np.float32)
         row_mask[:real_count] = 1.0
-        signal, row_mask = mesh_lib.shard_batch(mesh, signal, row_mask)
+        row_mask = mesh_lib.shard_batch(mesh, row_mask)
         _, logs = eval_fn(state, signal, jax.random.fold_in(key, i),
                           row_mask)
         weights.append(logs.pop("batch/real_rows"))  # global real rows
@@ -483,13 +482,14 @@ def main(config, return_metrics: bool = False,
         algo, mesh, state)
 
     start = time()
-    state = train_and_validate(config, train_ds, validation_ds, algo, fns,
-                               state, summary, mesh)
+    state, val_store = train_and_validate(config, train_ds, validation_ds,
+                                          algo, fns, state, summary, mesh)
     summary.scalar("elapse/total", time() - start)
 
     if config.surrogate_ds:
         generate_surrogate_dataset(config, fns[2], algo, state, mesh)
 
     if return_metrics:
-        return test(config, validation_ds, fns[1], state, mesh)
+        return test(config, validation_ds, fns[1], state, mesh,
+                    store=val_store)
     return None

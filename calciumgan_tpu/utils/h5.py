@@ -7,6 +7,7 @@ stored NWC (trial, time, neuron); ``write`` appends when the dataset exists;
 
 from __future__ import annotations
 
+import os
 from typing import Dict, Optional
 
 import h5py
@@ -84,9 +85,23 @@ def get(filename: str, name: str, neuron: Optional[int] = None,
         return ds[:]
 
 
+def get_shape(filename: str, name: str) -> tuple:
+    """Dataset shape from metadata only (no data read)."""
+    with h5py.File(filename, "r") as f:
+        return tuple(f[name].shape)
+
+
 def get_dataset_length(filename: str, name: str) -> int:
     with h5py.File(filename, mode="r") as f:
         return len(f[name])
+
+
+def keys(filename: str) -> list:
+    """Top-level dataset names (empty when the file does not exist)."""
+    if not os.path.exists(filename):
+        return []
+    with h5py.File(filename, "r") as f:
+        return list(f.keys())
 
 
 def contains(filename: str, name: str) -> bool:

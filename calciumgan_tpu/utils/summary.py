@@ -65,9 +65,12 @@ class Summary:
             self._vector_dir = os.path.join(self._metrics_dir, "plots")
             if not self._noop:
                 self.metrics_writer = EventWriter(self._metrics_dir)
-                if os.path.exists(self._vector_dir):
-                    shutil.rmtree(self._vector_dir)
-                os.makedirs(self._vector_dir)
+                # a --no_plots refresh of the KL scalars must not wipe the
+                # figures a previous full run rendered
+                if not self.no_plots:
+                    if os.path.exists(self._vector_dir):
+                        shutil.rmtree(self._vector_dir)
+                    os.makedirs(self._vector_dir)
         else:
             self.profiler_dir = os.path.join(config.output_dir, "profiler")
             if not self._noop:

@@ -31,8 +31,16 @@ def get_data_statistics(config, filename):
     upper-triangle covariances (k=0), NaN -> 0
     (parity: ``compute_dg_metrics.py:40-58``)."""
     from calciumgan_tpu.utils import arrays
-    spikes = arrays.set_array_format(
-        np.asarray(h5.get(filename, "spikes"), np.float32), "NWC", config)
+    # infer the on-disk layout from metadata, then read only the
+    # num_trials rows actually used when the trial axis leads — reading
+    # the whole dataset to keep 5 trials costs GBs on production runs
+    fmt = arrays.get_array_format(h5.get_shape(filename, "spikes"), config)
+    if fmt[0] == "N":
+        raw = h5.get(filename, "spikes", start=0, stop=config.num_trials)
+    else:
+        raw = h5.get(filename, "spikes")
+    perm = [fmt.index(s) for s in "NWC"]
+    spikes = np.transpose(np.asarray(raw, np.float32), perm)
     spikes = spikes[:config.num_trials]                   # (N, W, C)
     spikes_ncw = np.transpose(spikes, (0, 2, 1))          # (N, C, W)
     rates = np.asarray(jax.device_get(
@@ -48,7 +56,7 @@ def get_data_statistics(config, filename):
         np.float32)
 
 
-def _scatter_plot(config, filename, real, fake, order, every, xlabel, ylabel,
+def _scatter_plot(config, filename, real, fake, order, xlabel, ylabel,
                   tick_step, legend=None):
     real = real[order].flatten("F")
     fake = fake[order].flatten("F")
@@ -75,14 +83,14 @@ def _scatter_plot(config, filename, real, fake, order, every, xlabel, ylabel,
 
 def plot_firing_rate(config, filename, real, fake):
     order = np.argsort(np.mean(real, axis=-1))
-    _scatter_plot(config, filename, real, fake, order, every=1,
+    _scatter_plot(config, filename, real, fake, order,
                   xlabel="Neuron", ylabel="Firing rate", tick_step=5,
                   legend=["DG", "CalciumGAN"])
 
 
 def plot_covariance(config, filename, real, fake):
     order = np.argsort(np.mean(real, axis=-1))[::10]  # every 10th pair
-    _scatter_plot(config, filename, real, fake, order, every=10,
+    _scatter_plot(config, filename, real, fake, order,
                   xlabel="Neuron Pair", ylabel="Covariance", tick_step=20)
 
 

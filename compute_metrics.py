@@ -29,8 +29,20 @@ def main(config, with_covariance: bool = False,
     config.load()  # re-attach the training run's hparams.json
     info = io.load_generated_info(config)
 
+    epochs = sorted(info.keys())
+    if not config.all_epochs:
+        epochs = [epochs[-1]]  # only the last generated file by default
+
+    # clamp to the SHORTEST file in play: a crash-interrupted re-validation
+    # (or a multi-host chief holding a floor+1 validation shard) can leave
+    # an epoch file with fewer trials than the validation cache; indexing
+    # real rows against missing fake rows would crash mid-metric
+    epoch_lengths = [
+        h5.get_dataset_length(info[e]["filename"], "signals")
+        for e in epochs if os.path.exists(info[e]["filename"])] or [0]
     config.num_samples = min(
-        h5.get_dataset_length(config.validation_cache, "signals"), 1000)
+        h5.get_dataset_length(config.validation_cache, "signals"),
+        min(epoch_lengths), 1000)
 
     # randomly select neurons and trials to plot (compute_metrics.py:519-525)
     if config.num_neuron_plots >= config.num_neurons:
@@ -52,9 +64,6 @@ def main(config, with_covariance: bool = False,
                                      max(0, (os.cpu_count() or 1) - 1))
     summary = Summary(config, spike_metrics=True, no_plots=no_plots,
                       workers=workers)
-    epochs = sorted(info.keys())
-    if not config.all_epochs:
-        epochs = [epochs[-1]]  # only the last generated file by default
 
     # real spikes are epoch-invariant: load the validation cache once
     real_spikes = spike_eval._load_spikes(config, config.validation_cache,

@@ -79,7 +79,8 @@ def test_ensure_spikes_redoes_truncated_dataset(fake_run):
     h5.write(epoch_file, {"spikes": short})
     spike_eval.ensure_spikes(cfg, epoch_file)
     assert h5.get_dataset_length(epoch_file, "spikes") == 12
-    assert not h5.contains(epoch_file, "_spikes_partial")
+    assert not any(k.startswith("_spikes_partial")
+                   for k in h5.keys(epoch_file))
     # and a complete dataset is left untouched
     marker = h5.get(epoch_file, "spikes")
     spike_eval.ensure_spikes(cfg, epoch_file)
@@ -87,19 +88,33 @@ def test_ensure_spikes_redoes_truncated_dataset(fake_run):
 
 
 def test_deconvolve_file_resumes_from_partial_chunks(fake_run):
-    """A staged _spikes_partial dataset resumes at the last complete chunk
-    boundary instead of starting over."""
+    """A staged partial dataset resumes at the previous chunk boundary —
+    the LAST staged chunk is always redone (an interrupted h5 append can
+    leave a chunk-aligned length whose tail reads back as fill zeros)."""
     cfg, epoch_file = fake_run
-    sentinel = np.full((4, 96, 4), 1, np.int8)  # one complete chunk of 4
-    h5.write(epoch_file, {"_spikes_partial": sentinel})
+    sentinel = np.full((8, 96, 4), 1, np.int8)  # two complete chunks of 4
+    h5.write(epoch_file, {"_spikes_partial_c4": sentinel})
     spike_eval.deconvolve_file(cfg, epoch_file, chunk=4)
     spikes = h5.get(epoch_file, "spikes")
     assert spikes.shape == (12, 96, 4)
-    # the pre-existing complete chunk was kept verbatim (resume, not redo)
-    np.testing.assert_array_equal(spikes[:4], sentinel)
-    # the rest was actually deconvolved (not all-ones)
+    # chunk 1 was kept verbatim (resume, not redo)
+    np.testing.assert_array_equal(spikes[:4], sentinel[:4])
+    # chunk 2 (possibly torn) and chunk 3 were actually deconvolved
     assert not np.all(spikes[4:] == 1)
-    assert not h5.contains(epoch_file, "_spikes_partial")
+    assert not h5.contains(epoch_file, "_spikes_partial_c4")
+
+
+def test_deconvolve_file_restarts_on_chunk_mismatch(fake_run):
+    """A partial staged under a different chunk size (e.g. a TPU run
+    resumed on CPU) has unsound chunk boundaries and must restart."""
+    cfg, epoch_file = fake_run
+    h5.write(epoch_file,
+             {"_spikes_partial_c16": np.full((8, 96, 4), 1, np.int8)})
+    spike_eval.deconvolve_file(cfg, epoch_file, chunk=4)
+    spikes = h5.get(epoch_file, "spikes")
+    assert spikes.shape == (12, 96, 4)
+    assert not np.all(spikes[:8] == 1)  # sentinel rows were NOT reused
+    assert not h5.contains(epoch_file, "_spikes_partial_c16")
 
 
 def test_sort_heatmap_minimum_top_left(rng):
