@@ -89,6 +89,14 @@ class Discriminator2D(nn.Module):
 
 @register("calciumgan2d")
 def build(config):
+    if config.signal_shape[1] % 2:
+        # the generator seeds the neuron axis at num_neurons // 2 and
+        # doubles it with a stride-2 layer — an odd count would silently
+        # emit one neuron short and fail with an opaque concat shape error
+        # deep inside the first train step
+        raise ValueError(
+            f"calciumgan2d requires an even neuron count, got "
+            f"{config.signal_shape[1]}")
     dtype = jnp.bfloat16 if config.mixed_precision else jnp.float32
     gen = Generator2D(
         sequence_length=config.signal_shape[0],

@@ -10,6 +10,7 @@ from __future__ import annotations
 import ctypes
 import os
 import subprocess
+import threading
 from typing import Optional
 
 import numpy as np
@@ -19,6 +20,7 @@ _SO = os.path.join(_DIR, "libcalciumgan_native.so")
 
 _lib: Optional[ctypes.CDLL] = None
 _tried = False
+_load_lock = threading.Lock()
 
 
 def _build() -> bool:
@@ -31,10 +33,22 @@ def _build() -> bool:
 
 
 def load() -> Optional[ctypes.CDLL]:
-    """Load (building if needed) the native library; None if unavailable."""
+    """Load (building if needed) the native library; None if unavailable.
+
+    Serialised by a lock: concurrent first calls (prefetch thread + sweep
+    threads) would otherwise race two `make` builds and dlopen a
+    half-rewritten .so."""
     global _lib, _tried
     if _lib is not None or _tried:
         return _lib
+    with _load_lock:
+        if _lib is not None or _tried:
+            return _lib
+        return _load_locked()
+
+
+def _load_locked() -> Optional[ctypes.CDLL]:
+    global _lib, _tried
     _tried = True
     if not os.path.exists(_SO) and not _build():
         return None
@@ -76,7 +90,11 @@ def crc32c(data: bytes) -> Optional[int]:
     lib = load()
     if lib is None:
         return None
-    buf = (ctypes.c_uint8 * len(data)).from_buffer_copy(data)
+    # zero-copy: the kernel only reads, so hand it the bytes object's own
+    # buffer (from_buffer_copy would duplicate every record payload on the
+    # shard read/write hot path)
+    buf = ctypes.cast(ctypes.c_char_p(data),
+                      ctypes.POINTER(ctypes.c_uint8))
     return int(lib.cg_crc32c(buf, len(data)))
 
 

@@ -25,28 +25,36 @@ extern "C" {
 // crc32c
 // ---------------------------------------------------------------------------
 
-static uint32_t crc_tables[8][256];
-static bool crc_init_done = false;
-
-static void crc_init() {
-  if (crc_init_done) return;
-  const uint32_t poly = 0x82F63B78u;
-  for (int i = 0; i < 256; ++i) {
-    uint32_t c = static_cast<uint32_t>(i);
-    for (int k = 0; k < 8; ++k) c = (c & 1) ? (c >> 1) ^ poly : c >> 1;
-    crc_tables[0][i] = c;
-  }
-  for (int t = 1; t < 8; ++t) {
+// Table construction runs inside a C++11 magic static (thread-safe,
+// guaranteed-once): ctypes releases the GIL during calls and the record
+// codec hashes from prefetch/sweep threads concurrently — a plain
+// check-then-set flag could serve a partially built table to the second
+// thread in.
+struct CrcTables {
+  uint32_t t[8][256];
+  CrcTables() {
+    const uint32_t poly = 0x82F63B78u;
     for (int i = 0; i < 256; ++i) {
-      uint32_t c = crc_tables[t - 1][i];
-      crc_tables[t][i] = crc_tables[0][c & 0xFF] ^ (c >> 8);
+      uint32_t c = static_cast<uint32_t>(i);
+      for (int k = 0; k < 8; ++k) c = (c & 1) ? (c >> 1) ^ poly : c >> 1;
+      t[0][i] = c;
+    }
+    for (int s = 1; s < 8; ++s) {
+      for (int i = 0; i < 256; ++i) {
+        uint32_t c = t[s - 1][i];
+        t[s][i] = t[0][c & 0xFF] ^ (c >> 8);
+      }
     }
   }
-  crc_init_done = true;
+};
+
+static const uint32_t (&crc_tables_ref())[8][256] {
+  static const CrcTables tables;  // magic static: thread-safe init
+  return tables.t;
 }
 
 uint32_t cg_crc32c(const uint8_t* data, uint64_t n) {
-  crc_init();
+  const uint32_t (&crc_tables)[8][256] = crc_tables_ref();
   uint32_t crc = 0xFFFFFFFFu;
   uint64_t i = 0;
   // align + slice-by-8

@@ -113,7 +113,7 @@ def mean_absolute_percentage_error(y_true, y_pred):
 def main(config):
     if not os.path.exists(config.output_dir):
         print(f"{config.output_dir} not found")
-        exit()
+        raise SystemExit(1)
 
     config.load()
     info = io.load_generated_info(config)

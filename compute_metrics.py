@@ -23,7 +23,7 @@ def main(config, with_covariance: bool = False,
          with_victor_purpura: bool = False, no_plots: bool = False):
     if not os.path.exists(config.output_dir):
         print(f"{config.output_dir} not found")
-        exit()
+        raise SystemExit(1)
 
     rng = np.random.default_rng(config.seed)
     config.load()  # re-attach the training run's hparams.json

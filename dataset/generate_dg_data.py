@@ -29,7 +29,7 @@ from calciumgan_tpu.ops.oasis import ar1_filter
 def get_recorded_data_statistics(args):
     if not os.path.exists(args.input):
         print(f"Input {args.input} does not exists")
-        exit()
+        raise SystemExit(1)
     with open(args.input, "rb") as f:
         data = pickle.load(f)
 

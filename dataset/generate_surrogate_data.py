@@ -60,7 +60,7 @@ def main(args):
     sampler = DichotGauss(args.num_neurons, mean=mean_t, corr=covariance,
                           make_pd=True)
     key = jax.random.PRNGKey(args.seed)
-    k_surr, k_truth, k_choice, k_noise = jax.random.split(key, 4)
+    k_surr, k_truth, k_noise = jax.random.split(key, 3)
 
     surrogate = generate_dg_spikes(args, sampler, k_surr, args.num_samples)
     print(f"save surrogate dataset to {args.surrogate_path}")

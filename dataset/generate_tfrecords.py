@@ -23,7 +23,7 @@ from calciumgan_tpu.data import segments
 def main(args):
     if not os.path.exists(args.input):
         print(f"input file {args.input} does not exists")
-        exit()
+        raise SystemExit(1)
     if os.path.exists(args.output_dir):
         if args.replace:
             import shutil
@@ -31,7 +31,7 @@ def main(args):
         else:
             print(f"output directory {args.output_dir} already exists, "
                   f"use --replace to overwrite")
-            exit()
+            raise SystemExit(1)
 
     with open(args.input, "rb") as f:
         data = pickle.load(f)

@@ -24,8 +24,7 @@ from glob import glob
 import jax
 import numpy as np
 
-from calciumgan_tpu.ops.oasis import deconvolve_signals, \
-    deconvolve_signals_host
+from calciumgan_tpu.eval.spike_eval import deconvolve_traces
 
 
 def generate_spike_train(args, filename):
@@ -41,17 +40,10 @@ def generate_spike_train(args, filename):
             return
 
     signals = np.asarray(data["signals"], np.float32)
-    if jax.default_backend() == "tpu":  # Pallas depth-ladder dispatch
-        oasis = deconvolve_signals_host(signals, g=0.95, s_min=0.55,
-                                        threshold=0.5)
-    else:
-        from calciumgan_tpu import native
-        oasis = native.deconvolve_batch(signals, g=0.95, s_min=0.55,
-                                        threshold=0.5)
-        if oasis is None:  # no C++ toolchain: on-device JAX kernel
-            oasis = np.asarray(jax.device_get(
-                deconvolve_signals(signals, g=0.95, s_min=0.55,
-                                   threshold=0.5)))
+    # shared backend dispatch (Pallas depth ladder on TPU, C++ OpenMP host
+    # kernel, exact XLA fallback) — one policy for the eval pipeline and
+    # this CLI, so backend changes reach both
+    oasis = deconvolve_traces(signals)
     data["oasis"] = oasis.astype(np.float32)
 
     with open(filename, "wb") as f:
