@@ -8,6 +8,7 @@ host bottleneck), and ``--no_plots`` skips figures entirely for sweeps.
 """
 
 import argparse
+import json
 import os
 from time import time
 
@@ -83,6 +84,26 @@ def main(config, with_covariance: bool = False,
         if config.verbose:
             print(f"{info[epoch]['filename']} took {elapse / 60:.02f} mins")
     summary.close()  # collect pooled figures into the event files
+
+    # persist epoch -> KL scalars (the event files hold the same numbers,
+    # but a JSON is what sweep tooling and notebooks actually consume) and
+    # point at the best epoch per metric — WGAN KLs oscillate epoch to
+    # epoch, so the argmin over the checkpointed history is the number a
+    # user publishes
+    metrics_path = os.path.join(config.output_dir, "metrics",
+                                "metrics.json")
+    os.makedirs(os.path.dirname(metrics_path), exist_ok=True)
+    best = {k: min(all_results, key=lambda e: all_results[e][k])
+            for k in next(iter(all_results.values()))}
+    with open(metrics_path + ".tmp", "w") as f:
+        json.dump({"epochs": {str(e): r for e, r in all_results.items()},
+                   "best_epoch": {k: int(e) for k, e in best.items()}},
+                  f, indent=2)
+    os.replace(metrics_path + ".tmp", metrics_path)
+    if config.verbose:
+        print(f"\nwrote {metrics_path}")
+        for k, e in best.items():
+            print(f"\tbest {k}: epoch {e} ({all_results[e][k]:.4f})")
     return all_results
 
 

@@ -117,6 +117,29 @@ def test_deconvolve_file_restarts_on_chunk_mismatch(fake_run):
     assert not h5.contains(epoch_file, "_spikes_partial_c16")
 
 
+def test_compute_metrics_cli_writes_metrics_json(fake_run):
+    """compute_metrics.main persists epoch -> KL scalars and the best epoch
+    per metric to metrics/metrics.json (sweep tooling consumes the JSON)."""
+    import json
+    import pickle
+
+    import compute_metrics
+
+    cfg, epoch_file = fake_run
+    cfg.save()  # main() re-attaches hparams.json
+    with open(os.path.join(cfg.generated_dir, "info.pkl"), "wb") as f:
+        pickle.dump({5: {"global_step": 50, "filename": epoch_file}}, f)
+    cfg.all_epochs = True
+    results = compute_metrics.main(cfg, no_plots=True)
+    assert 5 in results
+    path = os.path.join(cfg.output_dir, "metrics", "metrics.json")
+    with open(path) as f:
+        saved = json.load(f)
+    assert saved["epochs"]["5"]["correlation_kl"] == pytest.approx(
+        results[5]["correlation_kl"])
+    assert saved["best_epoch"]["van_rossum_kl"] == 5
+
+
 def test_sort_heatmap_minimum_top_left(rng):
     m = rng.uniform(size=(6, 6)).astype(np.float32)
     heatmap, rows, cols = spike_eval.sort_heatmap(m)
