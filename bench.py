@@ -33,6 +33,7 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
 """
 
 import json
+import os
 import time
 
 import jax
@@ -173,10 +174,51 @@ def bench_oasis(T: int = 2048, n_traces: int = 16384):
     return n_traces / float(np.median(times))
 
 
+def _probe_device(retries: int = 6, wait_s: int = 120) -> bool:
+    """True when the attached accelerator answers a trivial matmul.
+
+    The hosted tunnel TPU has multi-hour outages where ANY device op hangs
+    indefinitely (even jnp.ones) — an in-process probe would hang with it,
+    so each attempt runs in a subprocess with a hard timeout, retried
+    across ~12 minutes before giving up."""
+    import subprocess
+    import sys
+
+    # decide WITHOUT initializing the backend: jax.default_backend() itself
+    # hangs during a tunnel outage (plugin discovery contacts the device)
+    plat = str(getattr(jax.config, "jax_platforms", None) or
+               os.environ.get("JAX_PLATFORMS") or "")
+    if plat == "cpu":
+        return True
+    code = ("import jax, jax.numpy as jnp;"
+            "x = jnp.ones((128, 128));"
+            "print(float((x @ x).sum()))")
+    for attempt in range(retries):
+        try:
+            subprocess.run([sys.executable, "-c", code], check=True,
+                           capture_output=True, timeout=90)
+            return True
+        except Exception:
+            if attempt < retries - 1:
+                time.sleep(wait_s)
+    return False
+
+
 def main():
     from calciumgan_tpu.train import enable_compilation_cache
 
     enable_compilation_cache()
+    if not _probe_device():
+        # one honest JSON line instead of hanging the harness forever
+        print(json.dumps({
+            "metric": "wgan_gp_train_steps_per_sec_sl2048_bs128",
+            "value": None, "unit": "steps/sec", "vs_baseline": None,
+            "error": "accelerator unreachable (tunnel outage): a trivial "
+                     "matmul hung through ~12 min of subprocess probes; "
+                     "see BENCH_r02.json / BASELINE.md for the last "
+                     "measured numbers",
+        }))
+        raise SystemExit(2)
     steps_per_sec, n_dev, tflop, mfu = bench_train_step()
     traces_per_sec = bench_oasis()
 
