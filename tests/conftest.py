@@ -7,12 +7,21 @@ first ``import jax`` anywhere in the test session.
 """
 
 import os
+import re
+import sys
 
-os.environ["JAX_PLATFORMS"] = "cpu"
+# the suite requires EXACTLY 8 faked devices: replace (not just append to)
+# any pre-existing count in the shell's XLA_FLAGS — a stale =4 from e.g.
+# the multihost-worker recipe would fail every mesh test opaquely
 flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8").strip()
+flags = re.sub(r"--xla_force_host_platform_device_count=\d+", "", flags)
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = (
+    flags + " --xla_force_host_platform_device_count=8").strip()
+
+# root scripts (main.py, compute_metrics.py, ...) import as top-level
+# modules; one bootstrap here instead of per-test-module copies
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 

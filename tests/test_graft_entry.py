@@ -1,12 +1,11 @@
 """Driver-contract checks: entry() compiles, dryrun_multichip(8) executes."""
 
 import os
-import sys
 
 import jax
 import numpy as np
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+# repo root on sys.path: tests/conftest.py bootstraps it for the session
 
 
 def test_entry_compiles_and_runs():

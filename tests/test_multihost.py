@@ -15,6 +15,7 @@ import os
 import socket
 import subprocess
 import sys
+import time
 
 import numpy as np
 import pytest
@@ -67,7 +68,19 @@ def test_two_process_training(tmp_path, rng):
                 env=env)
             for pid in range(2)
         ]
-        return [p.communicate(timeout=900)[0] for p in procs], procs
+        # one shared deadline (not 900 s PER worker), and ALWAYS reap both
+        # processes — a deadlocked collective would otherwise leak workers
+        # that hold the rendezvous port for the rest of the session
+        deadline = time.monotonic() + 900
+        try:
+            return [p.communicate(
+                timeout=max(1.0, deadline - time.monotonic()))[0]
+                for p in procs], procs
+        finally:
+            for p in procs:
+                if p.poll() is None:
+                    p.kill()
+                    p.wait()
 
     outputs, procs = launch()
     if any(p.returncode != 0 for p in procs) and any(

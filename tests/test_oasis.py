@@ -180,7 +180,6 @@ def test_roundtrip_filter_then_deconvolve(rng):
     spikes[0, [20, 70, 150]] = 1.0
     spikes[1, [5, 100]] = 1.0
     spikes[2, [60, 61, 120]] = 1.0  # adjacent spikes
-    c = np.asarray(ar1_filter(spikes, g=(0.95,)))
     # undo the reference's t=2 start quirk for a true AR(1) trace
     c_full = np.asarray(ar1_filter(np.concatenate(
         [np.zeros((3, 1), np.float32), spikes], axis=1), g=(0.95,)))[:, 1:]

@@ -3,12 +3,11 @@
 import argparse
 import json
 import os
-import sys
 
 import numpy as np
 import pytest
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+# repo root on sys.path: tests/conftest.py bootstraps it for the session
 
 import search as search_mod  # noqa: E402
 from calciumgan_tpu.data import segments  # noqa: E402

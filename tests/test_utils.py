@@ -52,7 +52,7 @@ def _read_scalars(logdir):
     assert len(files) == 1
     scalars = {}
     for record in read_records(files[0], check_crc=True):
-        step, tag, value = 0, None, None
+        step, pairs = 0, []
         for field, wire, v in _walk(record):
             if field == 2 and wire == 0:
                 step = v
@@ -60,12 +60,18 @@ def _read_scalars(logdir):
                 for f2, _, val_buf in _walk(v):
                     if f2 != 1:
                         continue
+                    # tag/value are PER Summary.Value item — resetting per
+                    # record would cross-pair a later tag with an earlier
+                    # value in multi-value events
+                    tag, value = None, None
                     for f3, w3, item in _walk(val_buf):
                         if f3 == 1:
                             tag = item.decode()
                         elif f3 == 2 and w3 == 5:
                             (value,) = struct.unpack("<f", item)
-        if tag is not None and value is not None:
+                    if tag is not None and value is not None:
+                        pairs.append((tag, value))
+        for tag, value in pairs:
             scalars[(tag, step)] = value
     return scalars
 
