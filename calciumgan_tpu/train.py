@@ -28,7 +28,6 @@ import numpy as np
 from calciumgan_tpu.algorithms.registry import get_algorithm
 from calciumgan_tpu.data import pipeline
 from calciumgan_tpu.models.registry import get_models
-from calciumgan_tpu.ops.oasis import deconvolve_signals
 from calciumgan_tpu.parallel import mesh as mesh_lib
 from calciumgan_tpu.utils import arrays, checkpoint, io
 from calciumgan_tpu.utils.summary import Summary
@@ -223,7 +222,12 @@ def sample_and_plot(config, algo, generate_fn, state, summary: Summary,
         return
     fake = pipeline.reverse_preprocessing(config, local)
     signals = arrays.set_array_format(fake[0], "CW", config)  # (neuron, time)
-    spikes = np.asarray(jax.device_get(deconvolve_signals(signals)))
+    # shared backend dispatch (Pallas depth ladder / C++ / exact fallback,
+    # incl. the long-T reroute): the in-graph deconvolve_signals would pick
+    # the ~444 traces/s while_loop machine for long-context sequence
+    # lengths above the Pallas VMEM cap
+    from calciumgan_tpu.eval.spike_eval import deconvolve_traces
+    spikes = deconvolve_traces(signals).astype(np.float32)
     summary.plot_traces("fake_traces", signals, spikes,
                         indexes=focus_neurons(config), step=epoch,
                         training=False)
