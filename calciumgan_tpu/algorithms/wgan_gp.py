@@ -43,6 +43,10 @@ class WGAN_GP(GAN):
         super().__init__(config, generator, discriminator)
         self.penalty = float(config.gradient_penalty)
         self.n_critic = int(config.n_critic)
+        if self.n_critic < 1:
+            # zero iterations would log NaN means of empty scan outputs
+            # (and crash under --unroll_critic: lax.scan unroll=0)
+            raise ValueError(f"n_critic must be >= 1, got {self.n_critic}")
         self.unroll_critic = bool(getattr(config, "unroll_critic", False))
 
     # ---- losses -------------------------------------------------------

@@ -79,7 +79,10 @@ class Discriminator(nn.Module):
             x = base.conv(self.num_units * k, (self.kernel_size,),
                           (self.strides,), self.dtype)(x)
             x = act(x)
-            if i < 4 and self.m > 0 and self.has_rng("phase"):
+            if i < 4 and self.m > 0:
+                # no has_rng fallback: a caller that forgets the 'phase'
+                # rng must get flax's missing-RNG error, not a silently
+                # shuffle-free discriminator
                 x = phase_shuffle(x, self.make_rng("phase"), self.m, axis=1)
         x = x.reshape((x.shape[0], -1))
         x = base.dense(1, self.dtype)(x)

@@ -78,8 +78,9 @@ class Discriminator2D(nn.Module):
         for i, k in enumerate((1, 2, 3, 4, 5)):
             x = base.conv(self.num_units * k, (16, 16), (4, 1), self.dtype)(x)
             x = act(x)
-            if i < 4 and self.has_rng("phase"):
+            if i < 4:
                 m = self.m if i < 3 else 0  # reference calciumgan2d.py:198
+                # no has_rng fallback — see calciumgan.Discriminator
                 if m > 0 or self.n > 0:
                     x = phase_shuffle_2d(x, self.make_rng("phase"), m, self.n)
         x = x.reshape((x.shape[0], -1))
