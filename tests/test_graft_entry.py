@@ -20,3 +20,32 @@ def test_entry_compiles_and_runs():
 def test_dryrun_multichip_8():
     from __graft_entry__ import dryrun_multichip
     dryrun_multichip(8)
+
+
+def test_dryrun_parent_never_initializes_backend(tmp_path):
+    """The routing decision must not touch jax.devices()/default_backend():
+    during a tunnel outage those hang in the TPU plugin's device discovery,
+    which wedged the round-3 driver probe (MULTICHIP_r03 rc=124). Poison both
+    in a fresh parent process whose platform is NOT pinned to cpu; the dry
+    run must still complete via the CPU-forced subprocess."""
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    code = (
+        "import sys; sys.path.insert(0, %r)\n"
+        "import jax\n"
+        "def _poisoned(*a, **k):\n"
+        "    raise AssertionError('parent initialized the default backend')\n"
+        "jax.devices = _poisoned\n"
+        "jax.default_backend = _poisoned\n"
+        "import __graft_entry__\n"
+        "__graft_entry__.dryrun_multichip(2)\n" % repo)
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
+    # simulate the driver invocation: platform unpinned (the hosted env's
+    # pre-set TPU plugin would win), so in-proc probing is unsafe
+    proc = subprocess.run([sys.executable, "-c", code], env=env, cwd=repo,
+                          capture_output=True, text=True, timeout=570)
+    assert proc.returncode == 0, proc.stderr[-4000:]
+    assert "dryrun_multichip ok" in proc.stdout, proc.stdout
