@@ -141,7 +141,13 @@ class GAN:
         dis_loss = self.discriminator_loss(real_out, fake_out, mask)
         return gen_loss, dis_loss, fake, gen_bs, dis_bs
 
-    def train_step(self, state: GANState, real, key) -> Tuple[GANState, dict]:
+    def train_step(self, state: GANState, real, key,
+                   shardings=None) -> Tuple[GANState, dict]:
+        """``shardings`` (GANState of NamedShardings): optional pins applied
+        to the post-update states on model-parallel meshes — see
+        ``wgan_gp.train_step`` for the Shardy rationale. Vanilla GAN has no
+        post-update forward (the known miscompile trigger), so this is a
+        defensive no-op-cost pin for symmetry."""
         gparams, dparams = state.generator.params, state.discriminator.params
 
         def gen_loss_fn(gp):
@@ -162,6 +168,11 @@ class GAN:
         new_gen = _apply_updates(state.generator, g_grads, self.tx_gen, gen_bs)
         new_dis = _apply_updates(state.discriminator, d_grads, self.tx_dis,
                                  dis_bs)
+        if shardings is not None:
+            new_gen = jax.lax.with_sharding_constraint(
+                new_gen, shardings.generator)
+            new_dis = jax.lax.with_sharding_constraint(
+                new_dis, shardings.discriminator)
         logs = {"loss/generator": gen_loss, "loss/discriminator": dis_loss}
         logs.update(self.metrics(real, fake))
         return GANState(generator=new_gen, discriminator=new_dis), logs

@@ -84,13 +84,29 @@ class WGAN_GP(GAN):
             jnp.square(norm - 1.0), mask)
 
     # ---- steps --------------------------------------------------------
-    def train_step(self, state: GANState, real, key) -> Tuple[GANState, dict]:
+    def train_step(self, state: GANState, real, key,
+                   shardings=None) -> Tuple[GANState, dict]:
+        """``shardings`` (a GANState of NamedShardings, supplied by
+        ``parallel.mesh.make_step_fns`` on model-parallel meshes) pins the
+        critic scan carry and the post-update states with
+        ``with_sharding_constraint``. Required for correctness under the
+        Shardy partitioner (jax 0.9 default): without the pins, batch means
+        downstream of the optax update come out data-axis-size times too
+        large — ``tools/repro_shardy_full.py`` is the pinned repro, and
+        ``tools/repro_shardy_constrained.py``'s ablation shows ALL the pins
+        below are needed (each alone still miscompiles)."""
+        def pin(tree, s):
+            if shardings is None:
+                return tree
+            return jax.lax.with_sharding_constraint(tree, s)
+
         keys = jax.random.split(key, self.n_critic + 1)
         critic_keys, gen_key = keys[:-1], keys[-1]
 
         # ---- n_critic discriminator updates (lax.scan) ----
         def critic_step(carry, step_key):
             dis_net, gen_bs = carry
+            dis_net = pin(dis_net, shardings and shardings.discriminator)
             k_noise, k_gen, k_both, k_gp = jax.random.split(step_key, 4)
             noise = self.get_noise(k_noise, real.shape[0])
             fake, gen_bs = self.gen_apply(
@@ -115,6 +131,7 @@ class WGAN_GP(GAN):
             (dis_loss, (gp, dis_bs)), grads = jax.value_and_grad(
                 dis_loss_fn, has_aux=True)(dis_net.params)
             dis_net = _apply_updates(dis_net, grads, self.tx_dis, dis_bs)
+            dis_net = pin(dis_net, shardings and shardings.discriminator)
             return (dis_net, gen_bs), (dis_loss, gp)
 
         (dis_net, gen_bs), (dis_losses, gps) = lax.scan(
@@ -135,6 +152,7 @@ class WGAN_GP(GAN):
             gen_loss_fn, has_aux=True)(state.generator.params)
         gen_net = _apply_updates(state.generator, g_grads, self.tx_gen,
                                  gen_bs)
+        gen_net = pin(gen_net, shardings and shardings.generator)
 
         logs = {
             "loss/generator": gen_loss,

@@ -136,14 +136,31 @@ def make_step_fns(algo, mesh: Mesh, state: Any):
     (replicated params or model-sharded per the rules); RNG keys are
     replicated so phase-shuffle shifts are replica-identical, matching the
     reference's one-shift-per-batch semantics (SURVEY.md §7).
+
+    On a model-parallel mesh the train step receives the state shardings so
+    it can pin its critic scan carry and post-update states with
+    ``with_sharding_constraint``. Shardy (the jax 0.9 default partitioner)
+    miscompiles the UNCONSTRAINED model-parallel WGAN-GP step -- every batch
+    mean downstream of the optax update comes out data-axis-size times too
+    large (pinned repro: ``tools/repro_shardy_full.py``; the upstream bug is
+    canaried by ``tests/test_algorithms.py::test_model_parallel_shardy_canary``,
+    a strict XFAIL that flips when a jax upgrade fixes it). The constrained
+    formulation partitions correctly under BOTH Shardy and classic GSPMD
+    (``tools/repro_shardy_constrained.py`` -- its ablation shows all three
+    pins are required), which replaced round 3's thread-scoped GSPMD
+    fallback and its private ``jax._src.config`` import.
     """
     ss = state_shardings(mesh, state)
     rep = replicated(mesh)
     ndim = len(algo.signal_shape) + 1
     data_in = batch_sharding(mesh, ndim)
 
+    train_step = algo.train_step
+    if mesh.shape[MODEL_AXIS] > 1:
+        train_step = functools.partial(algo.train_step, shardings=ss)
+
     train = jax.jit(
-        algo.train_step,
+        train_step,
         in_shardings=(ss, data_in, rep),
         out_shardings=(ss, rep),
         donate_argnums=(0,))
@@ -159,39 +176,6 @@ def make_step_fns(algo, mesh: Mesh, state: Any):
                                                 denorm=False),
         in_shardings=(ss, batch_sharding(mesh, 2), rep),
         out_shardings=data_in)
-
-    if mesh.shape[MODEL_AXIS] > 1:
-        # Shardy (the default partitioner in jax 0.9) miscompiles the
-        # model-parallel WGAN-GP TRAIN step: when the critic gradient
-        # (second-order, through the gradient penalty) feeds an optax
-        # update and a further forward through the UPDATED model-sharded
-        # discriminator runs in the same jit, every batch mean downstream
-        # of the update comes out exactly data_axis_size times too large.
-        # Bisect (tools/repro_shardy_full.py, run at lr=0 so updates are
-        # value-no-ops): eval_step is clean; the scan vs unrolled critic,
-        # donation, generator, and phase shuffle are all irrelevant; the
-        # trigger is {GP-bearing critic grad} + {optax update} +
-        # {post-update forward} in one program, and it survives only with
-        # the full flax conv stack (a distilled conv+head+adam+GP toy
-        # partitions correctly). Classic GSPMD compiles the identical
-        # program correctly, so each step function runs under a
-        # THREAD-LOCAL GSPMD scope (compilation happens inside the first
-        # call, so the scope covers tracing + partitioning; concurrent
-        # search.py --parallel threads with model_par == 1 meshes are
-        # unaffected). Regression: tests/test_algorithms.py
-        # test_model_parallel_mesh_runs.
-        from jax._src import config as _jax_config
-
-        def _gspmd_scoped(fn):
-            @functools.wraps(fn)
-            def wrapper(*args, **kwargs):
-                with _jax_config.use_shardy_partitioner(False):
-                    return fn(*args, **kwargs)
-            return wrapper
-
-        train = _gspmd_scoped(train)
-        evaluate = _gspmd_scoped(evaluate)
-        generate = _gspmd_scoped(generate)
 
     return train, evaluate, generate
 
