@@ -224,7 +224,12 @@ def local_rows(array) -> np.ndarray:
                     else array.shape[0]) for s in shards)
     out = np.empty((row_stop - row_start,) + array.shape[1:],
                    dtype=array.dtype)
-    written = np.zeros((row_stop - row_start,), bool)
+    # coverage is counted in ELEMENTS per row, not rows: under a 2-D
+    # ('data','time') sharding a shard covers only a time-slice of its rows,
+    # so a row-level flag could not detect a missing time shard and the gap
+    # columns would come back as np.empty garbage
+    row_elems = int(np.prod(array.shape[1:], dtype=np.int64))
+    covered = np.zeros((row_stop - row_start,), np.int64)
     for s in shards:
         idx = list(s.index)
         r = idx[0]
@@ -232,15 +237,21 @@ def local_rows(array) -> np.ndarray:
                      (r.stop if r.stop is not None else array.shape[0])
                      - row_start)
         out[(rows,) + tuple(idx[1:])] = np.asarray(jax.device_get(s.data))
-        written[rows] = True
-    # guard the contiguity assumption: if the device-mesh layout ever gives
-    # this process non-adjacent row blocks, fail loudly instead of returning
-    # np.empty garbage in the gap rows
-    if not written.all():
+        elems = 1
+        for dim, sl in enumerate(idx[1:], start=1):
+            start = sl.start or 0
+            stop = sl.stop if sl.stop is not None else array.shape[dim]
+            elems *= stop - start
+        covered[rows] += elems
+    # guard the coverage assumption: replica_id==0 shards never overlap, so
+    # every row must accumulate exactly its full element count — anything
+    # less means this process's shards have gaps (non-adjacent row blocks,
+    # or a missing time shard); fail loudly instead of returning garbage
+    if not (covered == row_elems).all():
         raise AssertionError(
-            "local_rows: this process's shards do not cover a contiguous "
-            f"row block (rows {row_start}:{row_stop}, "
-            f"{int((~written).sum())} gap rows)")
+            "local_rows: this process's shards do not cover its row block "
+            f"(rows {row_start}:{row_stop}, "
+            f"{int((covered != row_elems).sum())} rows with gaps)")
     return out
 
 
