@@ -122,8 +122,15 @@ class Config:
     normalize: bool = False
     fft: bool = False
     conv2d: bool = False
-    signals_min: Optional[float] = None
-    signals_max: Optional[float] = None
+    # fft min-max statistics: "global" (reference semantics — one scalar
+    # pair over all coefficients) or "per_channel" (one pair per
+    # coefficient position; see data/segments.py:preprocess)
+    fft_norm: str = "global"
+    # scalars under global norm; (signal_shape)-shaped float32 arrays under
+    # per-channel fft norm (arrays round-trip hparams.json as nested lists
+    # and are re-coerced by load())
+    signals_min: Optional[Any] = None
+    signals_max: Optional[Any] = None
     noise_shape: Optional[Tuple[int, ...]] = None
     train_steps: Optional[int] = None
     validation_steps: Optional[int] = None
@@ -229,9 +236,15 @@ class Config:
             if key in explicit:
                 continue
             current = getattr(self, key)
-            if current is None or (key in defaults and current == defaults[key]):
+            is_default = key in defaults and _safe_eq(current, defaults[key])
+            if current is None or is_default:
                 if key in _TUPLE_FIELDS and isinstance(value, list):
                     value = tuple(value)
+                if (key in ("signals_min", "signals_max")
+                        and isinstance(value, list)):
+                    # per-channel fft norm: JSON nested lists -> arrays
+                    import numpy as np
+                    value = np.asarray(value, np.float32)
                 setattr(self, key, value)
         return self
 
@@ -251,6 +264,14 @@ class Config:
                 raise ValueError(
                     f"sequence_length {self.sequence_length} is not divisible "
                     f"by strides**5 ({self.strides ** 5}): w={w}")
+
+
+def _safe_eq(a, b) -> bool:
+    """Scalar equality that never raises on array-valued fields."""
+    try:
+        return bool(a == b)
+    except (ValueError, TypeError):
+        return False
 
 
 def _git_hash() -> str:

@@ -78,9 +78,16 @@ def apply_dataset_info(config, info: dict) -> None:
         setattr(config, key, info[key])
     config.signal_shape = tuple(info["signal_shape"])
     config.spike_shape = tuple(info["spike_shape"])
+    config.fft_norm = info.get("fft_norm", "global")
     if config.normalize:
-        config.signals_min = float(info["signals_min"])
-        config.signals_max = float(info["signals_max"])
+        # per-channel fft norm stores one (min, max) PER coefficient
+        # position — arrays shaped like signal_shape; global norm scalars
+        if np.ndim(info["signals_min"]):
+            config.signals_min = np.asarray(info["signals_min"], np.float32)
+            config.signals_max = np.asarray(info["signals_max"], np.float32)
+        else:
+            config.signals_min = float(info["signals_min"])
+            config.signals_max = float(info["signals_max"])
     if config.save_generated:
         config.generated_dir = os.path.join(config.output_dir, "generated")
         os.makedirs(config.generated_dir, exist_ok=True)

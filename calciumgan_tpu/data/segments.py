@@ -37,7 +37,11 @@ def split(sequence, n: int):
 
 
 def normalize(x, x_min, x_max):
-    return (x - x_min) / (x_max - x_min)
+    span = np.asarray(x_max, np.float32) - np.asarray(x_min, np.float32)
+    # zero-span coefficients (e.g. the imaginary DC bin is identically 0
+    # under per-channel fft norm) map to 0; denormalize inverts exactly
+    # because x * 0 + x_min == x_min there
+    return (x - x_min) / np.where(span == 0, np.float32(1), span)
 
 
 def fft_signals(signals: np.ndarray) -> np.ndarray:
@@ -84,12 +88,26 @@ def num_per_shard(sequence_length: int, fft: bool,
 
 def preprocess(data: dict, sequence_length: int, stride: int,
                apply_fft: bool = False, conv2d: bool = False,
-               do_normalize: bool = False, is_dg_data: bool = False):
+               do_normalize: bool = False, is_dg_data: bool = False,
+               fft_norm: str = "global"):
     """pickle dict {'signals','oasis'} (neuron-major) -> segment tensors.
 
     Returns (signals, spikes, meta) where meta carries num_neurons,
     num_channels, signals_min/max.
+
+    ``fft_norm`` selects the min-max statistics for ``--fft`` data:
+    ``"global"`` keeps the reference's single scalar pair over ALL
+    coefficients (``generate_tfrecords.py:113-120``) — which forces the
+    generator to ~1e-4 precision per coefficient because the span is
+    dominated by the DC outliers (measured span 1743 on the regression
+    data, BASELINE.md fft table); ``"per_channel"`` records one (min, max)
+    pair PER coefficient position (arrays of ``signal_shape``) so every
+    coefficient spans its own [0, 1].
     """
+    if fft_norm not in ("global", "per_channel"):
+        raise ValueError(f"unknown fft_norm {fft_norm!r}")
+    if fft_norm == "per_channel" and not (apply_fft and do_normalize):
+        raise ValueError("fft_norm='per_channel' requires --fft --normalize")
     raw_signals = np.asarray(data["signals"], np.float32)
     raw_spikes = np.asarray(data["oasis"], np.float32)
     if not is_dg_data:
@@ -119,8 +137,16 @@ def preprocess(data: dict, sequence_length: int, stride: int,
             signals = signals[..., None]
         meta["num_channels"] = signals.shape[-1]
 
-    meta["signals_min"] = float(np.min(signals))
-    meta["signals_max"] = float(np.max(signals))
+    if fft_norm == "per_channel":
+        # one pair per coefficient position: min/max over the segment dim,
+        # shaped like signal_shape (post conv2d reshape) so they broadcast
+        # in normalize/denormalize and in the in-graph metric denorm
+        meta["signals_min"] = np.min(signals, axis=0).astype(np.float32)
+        meta["signals_max"] = np.max(signals, axis=0).astype(np.float32)
+    else:
+        meta["signals_min"] = float(np.min(signals))
+        meta["signals_max"] = float(np.max(signals))
+    meta["fft_norm"] = fft_norm
     if do_normalize:
         signals = normalize(signals, meta["signals_min"],
                             meta["signals_max"]).astype(np.float32)
@@ -132,7 +158,8 @@ def write_dataset(output_dir: str, signals: np.ndarray, spikes: np.ndarray,
                   meta: dict, sequence_length: int, stride: int,
                   validation_size: int, do_normalize: bool, apply_fft: bool,
                   conv2d: bool, target_shard_size: float = 0.5,
-                  seed: int = 1234, verbose: int = 1) -> dict:
+                  seed: int = 1234, verbose: int = 1,
+                  fft_norm: str = "global") -> dict:
     """Shuffle, split, shard, write records + info.pkl; returns the info."""
     os.makedirs(output_dir, exist_ok=True)
     rng = np.random.RandomState(seed)
@@ -174,6 +201,7 @@ def write_dataset(output_dir: str, signals: np.ndarray, spikes: np.ndarray,
         "stride": stride,
         "fft": apply_fft,
         "conv2d": conv2d,
+        "fft_norm": meta.get("fft_norm", fft_norm),
     }
     if do_normalize:
         info["signals_min"] = meta["signals_min"]

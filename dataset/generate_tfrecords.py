@@ -39,14 +39,15 @@ def main(args):
     signals, spikes, meta = segments.preprocess(
         data, sequence_length=args.sequence_length, stride=args.stride,
         apply_fft=args.fft, conv2d=args.conv2d, do_normalize=args.normalize,
-        is_dg_data=args.is_dg_data)
+        is_dg_data=args.is_dg_data, fft_norm=args.fft_norm)
 
     info = segments.write_dataset(
         args.output_dir, signals, spikes, meta,
         sequence_length=args.sequence_length, stride=args.stride,
         validation_size=args.validation_size, do_normalize=args.normalize,
         apply_fft=args.fft, conv2d=args.conv2d,
-        target_shard_size=args.target_shard_size, verbose=args.verbose)
+        target_shard_size=args.target_shard_size, verbose=args.verbose,
+        fft_norm=args.fft_norm)
 
     print(f"saved {info['train_size']} train + {info['validation_size']} "
           f"validation segments to {args.output_dir}")
@@ -60,6 +61,13 @@ if __name__ == "__main__":
     parser.add_argument("--stride", default=2, type=int)
     parser.add_argument("--normalize", action="store_true")
     parser.add_argument("--fft", action="store_true")
+    parser.add_argument("--fft_norm", default="global",
+                        choices=["global", "per_channel"],
+                        help="min-max statistics for --fft data: 'global' "
+                             "(reference semantics, one scalar pair over "
+                             "all coefficients) or 'per_channel' (one pair "
+                             "per coefficient position — avoids the DC-"
+                             "outlier precision squeeze, BASELINE.md)")
     parser.add_argument("--conv2d", action="store_true")
     parser.add_argument("--replace", action="store_true")
     parser.add_argument("--validation_size", default=1000, type=int)

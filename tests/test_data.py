@@ -98,6 +98,54 @@ def test_fft_roundtrip(rng):
     np.testing.assert_allclose(back, x, atol=1e-5)
 
 
+def test_fft_per_channel_norm_roundtrip(tmp_path, rng):
+    """--fft_norm per_channel: each coefficient position gets its own
+    (min, max); the stored records invert back to the original calcium
+    signals through the SAME reverse_preprocessing path as global norm,
+    including the zero-span imaginary DC bin."""
+    data = {"signals": 3 + 2 * rng.random((4, 600)).astype(np.float32),
+            "oasis": np.zeros((4, 600), np.float32)}
+    signals, spikes, meta = segments.preprocess(
+        data, 32, 8, apply_fft=True, do_normalize=True, is_dg_data=True,
+        fft_norm="per_channel")
+    assert meta["signals_min"].shape == (32, 8)  # per coefficient position
+    assert meta["fft_norm"] == "per_channel"
+    # imag(DC) is identically 0 -> zero span; normalize must not NaN
+    assert np.isfinite(signals).all()
+    assert signals.min() >= 0.0 and signals.max() <= 1.0 + 1e-6
+
+    out = str(tmp_path / "recs_pc")
+    segments.write_dataset(out, signals, spikes, meta, 32, 8,
+                           validation_size=8, do_normalize=True,
+                           apply_fft=True, conv2d=False, verbose=0,
+                           fft_norm="per_channel")
+    cfg = Config(input_dir=out, batch_size=8)
+    train, _ = pipeline.get_datasets(cfg)
+    assert cfg.fft_norm == "per_channel"
+    assert np.shape(cfg.signals_min) == (32, 8)
+
+    # invert a stored record back to raw calcium and find it in the source
+    raw = np.swapaxes(np.asarray(data["signals"]), 0, 1)
+    restored = pipeline.reverse_preprocessing(
+        cfg, np.asarray(train.signals[:3], np.float32))
+    windows = np.lib.stride_tricks.sliding_window_view(
+        raw, 32, axis=0)[::8].transpose(0, 2, 1)
+    for r in restored:
+        err = np.abs(windows - r[None]).max(axis=(1, 2))
+        assert err.min() < 1e-3, err.min()
+
+
+def test_preprocess_fft_norm_validation(rng):
+    data = {"signals": rng.random((3, 200)).astype(np.float32),
+            "oasis": np.zeros((3, 200), np.float32)}
+    with pytest.raises(ValueError, match="per_channel"):
+        segments.preprocess(data, 16, 4, do_normalize=True, is_dg_data=True,
+                            fft_norm="per_channel")  # without --fft
+    with pytest.raises(ValueError, match="fft_norm"):
+        segments.preprocess(data, 16, 4, apply_fft=True, do_normalize=True,
+                            is_dg_data=True, fft_norm="bogus")
+
+
 def test_preprocess_drops_first_two_neurons(rng):
     data = {"signals": rng.random((5, 64)).astype(np.float32),
             "oasis": np.zeros((5, 64), np.float32)}

@@ -128,16 +128,18 @@ def test_device_store_matches_streaming(tmp_path, rng):
 
 
 def make_variant_dataset(tmp_path, rng, apply_fft=False, conv2d=False,
-                         n_neurons=4, T=800, sl=32, stride=8):
+                         n_neurons=4, T=800, sl=32, stride=8,
+                         fft_norm="global"):
     data = {"signals": rng.random((n_neurons, T)).astype(np.float32),
             "oasis": (rng.random((n_neurons, T)) < 0.05).astype(np.float32)}
     signals, spikes, meta = segments.preprocess(
         data, sl, stride, apply_fft=apply_fft, conv2d=conv2d,
-        do_normalize=True, is_dg_data=True)
+        do_normalize=True, is_dg_data=True, fft_norm=fft_norm)
     out = str(tmp_path / "records")
     segments.write_dataset(out, signals, spikes, meta, sl, stride,
                            validation_size=16, do_normalize=True,
-                           apply_fft=apply_fft, conv2d=conv2d, verbose=0)
+                           apply_fft=apply_fft, conv2d=conv2d, verbose=0,
+                           fft_norm=fft_norm)
     return out
 
 
@@ -176,6 +178,36 @@ def test_main_fft_dataset(tmp_path, rng):
     # reverse_preprocessing applies the inverse FFT: back to (N, W, neurons)
     assert fake.shape == (16, 32, 4)
     assert np.isfinite(fake).all()
+
+
+def test_main_fft_per_channel_dataset(tmp_path, rng):
+    """End-to-end train on an --fft_norm per_channel dataset: the array
+    (min, max) pair must thread through the in-graph metric denorm, the
+    reverse-preprocessing on saved samples, and the hparams.json round-trip
+    that the eval CLIs rely on."""
+    from calciumgan_tpu.config import Config
+    from main import parse_args
+    input_dir = make_variant_dataset(tmp_path, rng, apply_fft=True,
+                                     fft_norm="per_channel")
+    cfg = parse_args([
+        "--input_dir", input_dir, "--output_dir", str(tmp_path / "runfftpc"),
+        "--batch_size", "8", "--num_units", "2", "--kernel_size", "4",
+        "--noise_dim", "4", "--epochs", "1", "--n_critic", "1",
+        "--model", "calciumgan", "--algorithm", "gan",
+        "--save_generated", "last", "--skip_checkpoints", "--verbose", "0"])
+    train_lib.main(cfg)
+    assert cfg.fft and cfg.fft_norm == "per_channel"
+    assert np.shape(cfg.signals_min) == tuple(cfg.signal_shape)
+    fake = h5.get(os.path.join(cfg.output_dir, "generated",
+                               "epoch000_signals.h5"), "signals")
+    assert fake.shape == (16, 32, 4)
+    assert np.isfinite(fake).all()
+    # eval-CLI contract: hparams.json restores the ARRAY min/max
+    reloaded = Config(output_dir=cfg.output_dir).load()
+    assert reloaded.fft_norm == "per_channel"
+    assert isinstance(reloaded.signals_min, np.ndarray)
+    np.testing.assert_allclose(reloaded.signals_min,
+                               np.asarray(cfg.signals_min), atol=1e-6)
 
 
 def test_profiler_window_writes_trace(tmp_path, rng):
