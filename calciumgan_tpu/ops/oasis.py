@@ -180,13 +180,19 @@ def deconvolve_signals(signals: jnp.ndarray, g: float = 0.95,
 _DEPTH_LADDER = (96, 160, 256)
 _ESCALATE_FRAC = 0.10
 
-# Longest trace the fused Pallas kernel can hold: each grid step keeps
-# THREE (T, 128) float32 VMEM windows (fluorescence in, c and s out), and
-# Mosaic double-buffers blocks across grid steps, so the footprint is
+# Longest trace the whole-trace Pallas kernel can hold: each grid step
+# keeps THREE (T, 128) float32 VMEM windows (fluorescence in, c and s out),
+# and Mosaic double-buffers blocks across grid steps, so the footprint is
 # ~6*T*128*4 B + the (depth, 128) stacks. T=4096 is ~12.6 MB against the
-# ~16 MB/core VMEM budget; whole-recording inputs (e.g. the 20k-frame
-# recordings spike_train_inference deconvolves) must take the exact paths.
+# ~16 MB/core VMEM budget. Longer traces (e.g. the 20k-frame recordings
+# spike_train_inference deconvolves) take the TIME-CHUNKED kernel
+# (ops.oasis_pallas.oasis_ar1_pallas_long): only one (chunk, 128) window is
+# VMEM-resident at a time while the pool stacks persist in scratch across
+# grid steps, so T is unbounded. Its stack ladder is deeper because the
+# final pool count grows with T (~ the spike count).
 _PALLAS_MAX_T = 4096
+_LONG_DEPTH_LADDER = (256, 512, 1024)
+_LONG_CHUNK = 2048
 
 
 def deconvolve_signals_host(signals, g: float = 0.95, s_min: float = 0.55,
@@ -200,9 +206,12 @@ def deconvolve_signals_host(signals, g: float = 0.95, s_min: float = 0.55,
     trace in a 4096-trace chunk would cost ~9 s there). Spikes come back as
     a host int8 array — 4x less tunnel/host traffic than float32.
 
-    With ``depth=None`` the dispatch walks ``_DEPTH_LADDER``: shallow first
-    for speed, escalating the whole chunk on device while a large fraction
-    of lanes flags. An explicit ``depth`` pins a single dispatch.
+    With ``depth=None`` the dispatch walks ``_DEPTH_LADDER`` (or the deeper
+    ``_LONG_DEPTH_LADDER`` through the time-chunked kernel when the traces
+    exceed ``_PALLAS_MAX_T`` — whole recordings stay on device instead of
+    falling back to the host kernel): shallow first for speed, escalating
+    the whole chunk on device while a large fraction of lanes flags. An
+    explicit ``depth`` pins a single dispatch.
 
     Args: signals (..., T) host array. Returns np.int8 of the same shape.
     """
@@ -212,20 +221,27 @@ def deconvolve_signals_host(signals, g: float = 0.95, s_min: float = 0.55,
     interpret = jax.default_backend() != "tpu"
 
     T = signals.shape[-1]
-    if T > _PALLAS_MAX_T:
-        # whole-recording traces exceed the kernel's VMEM window budget
-        # (see _PALLAS_MAX_T) — the C++ OpenMP kernel handles them offline
+    if T > _PALLAS_MAX_T and interpret:
+        # interpret-mode chunked Pallas on a whole recording is not a real
+        # path — off-TPU the C++ OpenMP kernel handles long traces
         flat = signals.reshape((-1, T))
         exact = _exact_spikes_host(flat, g, s_min, threshold)
         return exact.reshape(signals.shape)
+    long_kernel = T > _PALLAS_MAX_T
     if depth is not None:
         ladder = (depth,)
+    elif long_kernel:
+        ladder = tuple(dict.fromkeys(min(T, d) for d in _LONG_DEPTH_LADDER))
     else:  # clamp to T and dedupe so short traces run one rung, not three
         ladder = tuple(dict.fromkeys(min(T, d) for d in _DEPTH_LADDER))
     dev = jax.device_put(signals)  # upload once; ladder retries reuse it
     for i, d in enumerate(ladder):
-        spikes_dev, redo_dev = _pallas_spikes(dev, g, s_min, threshold, d,
-                                              interpret)
+        if long_kernel:
+            spikes_dev, redo_dev = _pallas_spikes_long(
+                dev, g, s_min, threshold, d, _LONG_CHUNK, interpret)
+        else:
+            spikes_dev, redo_dev = _pallas_spikes(dev, g, s_min, threshold,
+                                                  d, interpret)
         flags_frac = float(np.asarray(jax.device_get(redo_dev)).mean())
         if flags_frac <= _ESCALATE_FRAC or i == len(ladder) - 1:
             break
@@ -250,6 +266,18 @@ def _pallas_spikes(y, g, s_min, threshold, depth, interpret):
     from calciumgan_tpu.ops.oasis_pallas import oasis_ar1_pallas
     _, s, redo = oasis_ar1_pallas(y, g=g, lam=0.0, s_min=s_min,
                                   depth=depth, interpret=interpret)
+    return (s > threshold).astype(jnp.int8), redo
+
+
+@functools.partial(jax.jit, static_argnames=("g", "s_min", "threshold",
+                                              "depth", "chunk", "interpret"))
+def _pallas_spikes_long(y, g, s_min, threshold, depth, chunk, interpret):
+    """Whole-recording variant of :func:`_pallas_spikes` (time-chunked grid,
+    stacks persisted in scratch — see oasis_pallas.oasis_ar1_pallas_long)."""
+    from calciumgan_tpu.ops.oasis_pallas import oasis_ar1_pallas_long
+    _, s, redo = oasis_ar1_pallas_long(y, g=g, lam=0.0, s_min=s_min,
+                                       depth=depth, chunk=chunk,
+                                       interpret=interpret)
     return (s > threshold).astype(jnp.int8), redo
 
 

@@ -51,7 +51,7 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["oasis_ar1_pallas", "default_depth"]
+__all__ = ["oasis_ar1_pallas", "oasis_ar1_pallas_long", "default_depth"]
 
 _LANES = 128
 
@@ -161,6 +161,193 @@ def _oasis_kernel(T: int, D: int, g: float, s_min: float, K: int):
         s_ref[0:1, :] = jnp.zeros((1, _LANES), jnp.float32)
 
     return kernel
+
+
+def _oasis_kernel_long(Tc: int, C: int, T: int, D: int, g: float,
+                       s_min: float, K: int):
+    """Time-chunked variant: a (lane_block, 2*C) grid walks each lane
+    block's chunks FORWARD (grid steps 0..C-1: pool pushes/merges, stacks
+    carried in scratch) then BACKWARD (steps C..2C-1: fused reconstruction
+    revisits the c output blocks newest-chunk-first). Scratch persists
+    across grid steps, so the pool state flows through the whole trace even
+    though only one (Tc, 128) fluorescence window is VMEM-resident at a
+    time — this lifts the whole-trace VMEM cap (``_PALLAS_MAX_T``) that
+    forces 20k-frame recordings onto the host kernel."""
+    log_g = math.log(g)
+
+    def kernel(yy_ref, c_ref, redo_ref, vs_ref, ws_ref, ls_ref, n_ref,
+               rem_ref):
+        i = pl.program_id(1)
+
+        @pl.when(i == 0)
+        def _init():
+            vs_ref[:] = jnp.zeros((D, _LANES), jnp.float32)
+            ws_ref[:] = jnp.ones((D, _LANES), jnp.float32)
+            ls_ref[:] = jnp.ones((D, _LANES), jnp.float32)
+            n_ref[:] = jnp.zeros((1, _LANES), jnp.int32)
+            # redo_ref keeps the SAME block index for every grid step of a
+            # lane block, so it doubles as the cross-chunk carry
+            redo_ref[:] = jnp.zeros((1, _LANES), jnp.int32)
+
+        def violation(n):
+            v0, w0 = vs_ref[0:1, :], ws_ref[0:1, :]
+            v1, w1 = vs_ref[1:2, :], ws_ref[1:2, :]
+            l1 = ls_ref[1:2, :]
+            gl = jnp.exp(l1 * log_g)
+            viol = (n >= 2) & (v0 / w0 < gl * (v1 / w1) + s_min)
+            return viol.astype(jnp.int32)
+
+        def masked_merge(n):
+            violi = violation(n)
+            viol = violi > 0
+            v0, w0, l0 = vs_ref[0:1, :], ws_ref[0:1, :], ls_ref[0:1, :]
+            v1, w1, l1 = vs_ref[1:2, :], ws_ref[1:2, :], ls_ref[1:2, :]
+            gl = jnp.exp(l1 * log_g)
+            mv = v1 + gl * v0
+            mw = w1 + gl * gl * w0
+            ml = l1 + l0
+            vs_ref[:] = jnp.where(viol, jnp.roll(vs_ref[:], -1, axis=0),
+                                  vs_ref[:])
+            ws_ref[:] = jnp.where(viol, jnp.roll(ws_ref[:], -1, axis=0),
+                                  ws_ref[:])
+            ls_ref[:] = jnp.where(viol, jnp.roll(ls_ref[:], -1, axis=0),
+                                  ls_ref[:])
+            vs_ref[0:1, :] = jnp.where(viol, mv, v0)
+            ws_ref[0:1, :] = jnp.where(viol, mw, w0)
+            ls_ref[0:1, :] = jnp.where(viol, ml, l0)
+            return n - violi
+
+        @pl.when(i < C)
+        def _forward():
+            base = i * Tc
+            # the final chunk may be partial: run exactly the real steps
+            steps = jnp.minimum(Tc, T - base)
+
+            def push(t, carry):
+                n, redo = carry
+                vs_ref[:] = jnp.roll(vs_ref[:], 1, axis=0)
+                ws_ref[:] = jnp.roll(ws_ref[:], 1, axis=0)
+                ls_ref[:] = jnp.roll(ls_ref[:], 1, axis=0)
+                vs_ref[0:1, :] = yy_ref[pl.ds(t, 1), :]
+                ws_ref[0:1, :] = jnp.ones((1, _LANES), jnp.float32)
+                ls_ref[0:1, :] = jnp.ones((1, _LANES), jnp.float32)
+                n = n + 1
+                redo = jnp.maximum(redo, (n > D).astype(jnp.int32))
+                for _ in range(K):
+                    n = masked_merge(n)
+                redo = jnp.maximum(redo, violation(n))
+                return n, redo
+
+            n, redo = lax.fori_loop(0, steps, push,
+                                    (n_ref[:], redo_ref[:]))
+            n_ref[:] = n
+            redo_ref[:] = redo
+
+            @pl.when(i == C - 1)
+            def _seed_backward():
+                rem_ref[:] = ls_ref[0:1, :]
+
+        @pl.when(i >= C)
+        def _backward():
+            chunk = 2 * C - 1 - i
+            base = chunk * Tc
+            steps = jnp.minimum(Tc, T - base)
+
+            def recon(j, rem):
+                t = steps - 1 - j
+                h0 = jnp.maximum(vs_ref[0:1, :] / ws_ref[0:1, :], 0.0)
+                decay = jnp.exp((rem - 1.0) * log_g)
+                c_ref[pl.ds(t, 1), :] = h0 * decay
+                rem = rem - 1.0
+                done = rem < 0.5
+                vs_ref[:] = jnp.where(done, jnp.roll(vs_ref[:], -1, axis=0),
+                                      vs_ref[:])
+                ws_ref[:] = jnp.where(done, jnp.roll(ws_ref[:], -1, axis=0),
+                                      ws_ref[:])
+                ls_ref[:] = jnp.where(done, jnp.roll(ls_ref[:], -1, axis=0),
+                                      ls_ref[:])
+                return jnp.where(done, ls_ref[0:1, :], rem)
+
+            rem_ref[:] = lax.fori_loop(0, steps, recon, rem_ref[:])
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("g", "lam", "s_min", "depth", "merge_attempts",
+                     "chunk", "interpret"))
+def oasis_ar1_pallas_long(signals: jnp.ndarray, g: float = 0.95,
+                          lam: float = 0.0, s_min: float = 0.0,
+                          depth: int = 512, merge_attempts: int = 4,
+                          chunk: int = 2048, interpret: bool = False):
+    """OASIS AR(1) for traces LONGER than the whole-trace kernel's VMEM cap
+    (``ops.oasis._PALLAS_MAX_T``), e.g. the 20k-frame recordings
+    ``dataset/spike_train_inference.py`` deconvolves (reference hot loop:
+    ``/root/reference/dataset/spike_train_inference.py:24-32``).
+
+    Same algorithm and outputs as :func:`oasis_ar1_pallas`; only the
+    traversal is chunked (see :func:`_oasis_kernel_long`). The final pool
+    count of a T-frame trace grows with T (≈ spike count), so the default
+    stack ``depth`` is deeper than the short kernel's ladder; overflowing
+    lanes are flagged in ``redo`` exactly like the short kernel. Spikes are
+    differenced from ``c`` OUTSIDE the kernel (one fused elementwise XLA
+    op) because ``s_t`` at a chunk boundary needs ``c_{t-1}`` from the
+    neighbouring block.
+
+    Returns (c, s, redo) shaped like the short kernel's.
+    """
+    signals = jnp.asarray(signals, jnp.float32)
+    batch_shape = signals.shape[:-1]
+    T = signals.shape[-1]
+    Tc = min(chunk, T)
+    C = -(-T // Tc)
+    D = max(8, -(-min(depth, T) // 8) * 8)
+
+    y = signals.reshape((-1, T))
+    B = y.shape[0]
+    yy = y - lam * (1.0 - g)
+    yy = yy.at[:, T - 1].set(y[:, T - 1] - lam)
+
+    Bp = -(-B // _LANES) * _LANES
+    Tp = C * Tc
+    yy = jnp.pad(yy, ((0, Bp - B), (0, Tp - T)))
+    yyT = yy.T  # (Tp, Bp)
+
+    # grid: lane blocks outer, 2*C time sweeps inner (forward then backward;
+    # the kernel predicates on program_id(1)); chunk j is visited at grid
+    # steps j and 2C-1-j
+    tmap = lambda b, i: (jnp.minimum(i, 2 * C - 1 - i), b)
+    cT, redo = pl.pallas_call(
+        _oasis_kernel_long(Tc, C, T, D, g, s_min, merge_attempts),
+        grid=(Bp // _LANES, 2 * C),
+        in_specs=[pl.BlockSpec((Tc, _LANES), tmap,
+                               memory_space=pltpu.VMEM)],
+        out_specs=(pl.BlockSpec((Tc, _LANES), tmap,
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((1, _LANES), lambda b, i: (0, b),
+                                memory_space=pltpu.VMEM)),
+        out_shape=(
+            jax.ShapeDtypeStruct((Tp, Bp), jnp.float32),
+            jax.ShapeDtypeStruct((1, Bp), jnp.int32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((D, _LANES), jnp.float32),
+            pltpu.VMEM((D, _LANES), jnp.float32),
+            pltpu.VMEM((D, _LANES), jnp.float32),
+            pltpu.VMEM((1, _LANES), jnp.int32),
+            pltpu.VMEM((1, _LANES), jnp.float32),
+        ],
+        interpret=interpret,
+    )(yyT)
+
+    c = cT.T[:B, :T]
+    s = c - g * jnp.concatenate(
+        [jnp.zeros((B, 1), jnp.float32), c[:, :-1]], axis=1)
+    s = s.at[:, 0].set(0.0)
+    redo = redo[0, :B].astype(jnp.bool_)
+    return (c.reshape(signals.shape), s.reshape(signals.shape),
+            redo.reshape(batch_shape))
 
 
 @functools.partial(

@@ -11,7 +11,8 @@ import pytest
 
 from calciumgan_tpu.ops import oasis_ref
 from calciumgan_tpu.ops.oasis import deconvolve_signals
-from calciumgan_tpu.ops.oasis_pallas import oasis_ar1_pallas
+from calciumgan_tpu.ops.oasis_pallas import (oasis_ar1_pallas,
+                                             oasis_ar1_pallas_long)
 
 
 def synth_traces(rng, n=8, T=256, g=0.95, rate=0.02, sn=0.3):
@@ -76,6 +77,55 @@ def test_redo_flag_on_merge_budget():
     # the starved kernel must either match anyway or flag itself
     if not np.allclose(np.asarray(s1)[0], s_ref, atol=1e-4):
         assert np.asarray(redo1).any()
+
+
+@pytest.mark.parametrize("s_min,lam", [(0.55, 0.0), (0.0, 0.0), (0.0, 1.0)])
+def test_long_kernel_matches_numpy_golden(rng, s_min, lam):
+    # T spans several chunks including a PARTIAL final one (300 = 4*64 + 44)
+    y = synth_traces(rng, n=6, T=300)
+    c, s, redo = oasis_ar1_pallas_long(y, g=0.95, lam=lam, s_min=s_min,
+                                       depth=64, chunk=64, interpret=True)
+    c, s, redo = map(np.asarray, (c, s, redo))
+    assert not redo.any()
+    for i in range(len(y)):
+        c_ref, s_ref = oasis_ref.oasis_ar1(y[i], g=0.95, lam=lam, s_min=s_min)
+        np.testing.assert_allclose(c[i], c_ref, atol=1e-4)
+        np.testing.assert_allclose(s[i], s_ref, atol=1e-4)
+
+
+def test_long_kernel_matches_short_kernel(rng):
+    """Same masked-merge semantics: the time-chunked traversal must agree
+    with the whole-trace kernel on inputs both can hold — including the
+    spike difference across chunk boundaries (computed outside the long
+    kernel from neighbouring c blocks)."""
+    y = synth_traces(rng, n=9, T=256)
+    c0, s0, r0 = oasis_ar1_pallas(y, g=0.95, s_min=0.55, interpret=True)
+    c1, s1, r1 = oasis_ar1_pallas_long(y, g=0.95, s_min=0.55, depth=96,
+                                       chunk=64, interpret=True)
+    np.testing.assert_array_equal(np.asarray(r0), np.asarray(r1))
+    np.testing.assert_allclose(np.asarray(c1), np.asarray(c0), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s0), atol=1e-5)
+
+
+def test_long_kernel_multi_block_and_partial_chunk(rng):
+    # >128 traces exercises the lane-block grid dimension together with the
+    # 2*C forward/backward sweep; T=130 leaves a 2-step final chunk
+    y = synth_traces(rng, n=130, T=130)
+    c, s, redo = oasis_ar1_pallas_long(y, g=0.95, s_min=0.55, depth=64,
+                                       chunk=64, interpret=True)
+    assert c.shape == y.shape and s.shape == y.shape
+    assert redo.shape == (130,)
+    for i in (0, 64, 127, 129):  # both lane blocks incl. boundaries
+        _, s_ref = oasis_ref.oasis_ar1(y[i], g=0.95, s_min=0.55)
+        np.testing.assert_allclose(np.asarray(s)[i], s_ref, atol=1e-4)
+
+
+def test_long_kernel_redo_flag_on_stack_overflow():
+    # monotone ramp at s_min=0 keeps every pool: pool count = T > depth
+    ramp = np.linspace(0.0, 10.0, 160)[None].repeat(3, 0)
+    _, _, redo = oasis_ar1_pallas_long(ramp, s_min=0.0, depth=16, chunk=64,
+                                       interpret=True)
+    assert np.asarray(redo).all()
 
 
 def test_deconvolve_signals_pallas_backend_matches_while(rng):
