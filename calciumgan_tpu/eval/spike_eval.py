@@ -76,6 +76,12 @@ def deconvolve_file(config, filename: str, chunk: int = 0) -> None:
     for stale in h5.keys(filename):
         if stale.startswith("_spikes_partial") and stale != staging:
             h5.delete(filename, stale)
+    if n == 0:
+        # an empty signals dataset has nothing to stage; write an empty
+        # spikes dataset directly instead of promoting a never-created one
+        h5.write(filename, {"spikes": np.zeros(
+            (0,) + tuple(h5.get(filename, "signals").shape[1:]), np.int8)})
+        return
     done = 0
     if h5.contains(filename, staging):
         # resume; unconditionally re-do the LAST chunk: h5 appends resize

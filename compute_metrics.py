@@ -34,13 +34,26 @@ def main(config, with_covariance: bool = False,
     if not config.all_epochs:
         epochs = [epochs[-1]]  # only the last generated file by default
 
+    # epochs whose h5 file is gone (deleted / moved run dir) can't be
+    # evaluated — drop them up front so the metric loop never opens a
+    # missing file, and fail loudly when nothing remains
+    missing = [e for e in epochs if not os.path.exists(info[e]["filename"])]
+    if missing:
+        for e in missing:
+            print(f"warning: skipping epoch {e}: "
+                  f"{info[e]['filename']} does not exist")
+        epochs = [e for e in epochs if e not in set(missing)]
+    if not epochs:
+        raise FileNotFoundError(
+            f"no generated epoch files found under {config.output_dir} — "
+            "was the run trained with --save_generated?")
+
     # clamp to the SHORTEST file in play: a crash-interrupted re-validation
     # (or a multi-host chief holding a floor+1 validation shard) can leave
     # an epoch file with fewer trials than the validation cache; indexing
     # real rows against missing fake rows would crash mid-metric
     epoch_lengths = [
-        h5.get_dataset_length(info[e]["filename"], "signals")
-        for e in epochs if os.path.exists(info[e]["filename"])] or [0]
+        h5.get_dataset_length(info[e]["filename"], "signals") for e in epochs]
     config.num_samples = min(
         h5.get_dataset_length(config.validation_cache, "signals"),
         min(epoch_lengths), 1000)
