@@ -174,6 +174,35 @@ def bench_oasis(T: int = 2048, n_traces: int = 16384):
     return n_traces / float(np.median(times))
 
 
+def bench_oasis_dense(T: int = 2048, n_traces: int = 16384,
+                      rate: float = 0.06):
+    """Deconvolution throughput on DENSE data (>=5% spikes/frame) through
+    the FULL eval driver (``ops.oasis.deconvolve_signals_host``): at this
+    rate the depth-96 first rung overflows on most lanes, so this exercises
+    the on-device 96->160 ladder re-dispatch plus any residual host redo —
+    the honest worst case next to :func:`bench_oasis`'s friendly-data
+    number. Timed host-to-host (including the per-call device_put and the
+    int8 gather), which is exactly what the eval pipeline pays per chunk."""
+    from calciumgan_tpu.ops.oasis import deconvolve_signals_host
+    from calciumgan_tpu.ops.oasis_ref import synth_ar1_traces
+
+    if jax.default_backend() != "tpu":
+        return None  # interpret-mode Pallas at this size is not a benchmark
+
+    traces = synth_ar1_traces(np.random.default_rng(2), n_traces, T,
+                              rate=rate)
+    deconvolve_signals_host(traces)  # compile both ladder rungs
+    times = []
+    for i in range(3):
+        # fresh host perturbation per rep: identical inputs have produced
+        # impossibly fast timings on the tunnel
+        y = traces + np.float32(1e-6 * (i + 1))
+        start = time.perf_counter()
+        deconvolve_signals_host(y)
+        times.append(time.perf_counter() - start)
+    return n_traces / float(np.median(times))
+
+
 def _probe_device(retries: int = 6, wait_s: int = 120) -> bool:
     """True when the attached accelerator answers a trivial matmul.
 
@@ -221,6 +250,7 @@ def main():
         raise SystemExit(2)
     steps_per_sec, n_dev, tflop, mfu = bench_train_step()
     traces_per_sec = bench_oasis()
+    dense_traces_per_sec = bench_oasis_dense()
 
     ref_lo, ref_hi = _reference_band(tflop or 11.08)
     print(json.dumps({
@@ -241,6 +271,12 @@ def main():
         "train_step_tflop": round(tflop, 3) if tflop else None,
         "mfu_pct": round(mfu, 2) if mfu else None,
         "oasis_traces_per_sec_sl2048": round(traces_per_sec, 1),
+        "oasis_dense_traces_per_sec_sl2048": (
+            round(dense_traces_per_sec, 1) if dense_traces_per_sec else None),
+        "oasis_dense_note": "6% spike-rate traces through the full eval "
+                            "driver (depth-ladder 96->160 on-device "
+                            "re-dispatch + host redo), timed host-to-host "
+                            "incl. upload",
         "oasis_backend": "pallas" if jax.default_backend() == "tpu"
                          else "while_loop",
     }))
