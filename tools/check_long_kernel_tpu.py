@@ -1,0 +1,49 @@
+"""TPU-path parity + warm throughput of the time-chunked long OASIS kernel
+on whole-recording traces (the `dataset/spike_train_inference.py` scale;
+reference hot loop: /root/reference/dataset/spike_train_inference.py:24-32).
+
+    python tools/check_long_kernel_tpu.py
+
+Asserts bit-exact spike parity with the exact host kernel on 20k-frame
+traces through the full `deconvolve_signals_host` ladder dispatch, then
+times a warm repeat call (the ladder compiles one program per (batch,
+rung) shape; the first call pays the tunnel compile).
+"""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import jax
+
+from calciumgan_tpu.ops.oasis import deconvolve_signals_host, _exact_spikes_host
+from calciumgan_tpu.ops.oasis_ref import synth_ar1_traces
+
+
+def main(n: int = 2048, T: int = 20000) -> None:
+    assert jax.default_backend() == "tpu", jax.default_backend()
+    rng = np.random.default_rng(11)
+    y = synth_ar1_traces(rng, n, T)
+    t0 = time.perf_counter()
+    s_tpu = deconvolve_signals_host(y)
+    t1 = time.perf_counter()
+    print(f"cold (incl compile): {n / (t1 - t0):.1f} traces/s ({t1 - t0:.1f}s)")
+    times = []
+    for i in range(3):
+        y2 = y + np.float32(1e-6 * (i + 1))  # fresh input, same shape
+        t0 = time.perf_counter()
+        s2 = deconvolve_signals_host(y2)
+        times.append(time.perf_counter() - t0)
+    warm = n / float(np.median(times))
+    print(f"warm: {warm:.1f} traces/s (median of 3; {np.median(times):.2f}s)")
+    s_ref = _exact_spikes_host(y, 0.95, 0.55, 0.5)
+    mism = int((s_tpu != s_ref).sum())
+    print(f"mismatched spikes: {mism} of {s_ref.size} ({int(s_ref.sum())} spikes)")
+    assert mism == 0, mism
+    print("LONG_OK")
+
+
+if __name__ == "__main__":
+    main(*(int(a) for a in sys.argv[1:]))
