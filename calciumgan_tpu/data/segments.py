@@ -45,19 +45,41 @@ def normalize(x, x_min, x_max):
 
 
 def fft_signals(signals: np.ndarray) -> np.ndarray:
-    """(N, seq, neurons) -> (N, seq, 2*neurons): concat(real, imag)."""
-    spec = np.fft.fft(signals.astype(np.complex64), axis=1)
+    """(N, seq, neurons) -> (N, seq, 2*neurons): concat(real, imag).
+
+    The input is real, so the full spectrum is built from ``rfft`` over a
+    contiguous last axis plus a conjugate mirror — ~10x faster than a
+    complex FFT along a middle axis (pocketfft pays both the complex input
+    and the strided-axis transposes; measured 28 s -> 2.4 s per 500
+    sl2048x48 segments on the 1-core host).
+    """
+    x = np.moveaxis(np.asarray(signals, np.float32), 1, 2)  # (N, C, T)
+    T = x.shape[-1]
+    half = np.fft.rfft(np.ascontiguousarray(x), axis=-1)  # (N, C, T//2+1)
+    spec = np.empty(x.shape, np.complex64)
+    spec[..., :T // 2 + 1] = half
+    # k = T//2+1 .. T-1 mirrors conj(spec[T-k]); T-k = T - T//2 - 1 .. 1
+    spec[..., T // 2 + 1:] = np.conj(half[..., 1:(T + 1) // 2][..., ::-1])
     return np.concatenate(
-        [np.real(spec).astype(np.float32),
-         np.imag(spec).astype(np.float32)], axis=-1)
+        [np.moveaxis(spec.real, 2, 1), np.moveaxis(spec.imag, 2, 1)],
+        axis=-1).astype(np.float32, copy=False)
 
 
 def ifft_signals(signals: np.ndarray) -> np.ndarray:
-    """Inverse of :func:`fft_signals` (reference utils.py:35-46)."""
+    """Inverse of :func:`fft_signals` (reference utils.py:35-46).
+
+    Generated spectra are NOT exactly conjugate-symmetric (the generator
+    emits arbitrary reals), so this must stay a full complex ifft with the
+    imaginary residue discarded, exactly like the reference — only the
+    transform axis is made contiguous first (pocketfft on a middle axis is
+    several times slower).
+    """
     mid = signals.shape[-1] // 2
-    spec = signals[..., :mid] + 1j * signals[..., mid:]
-    return np.real(np.fft.ifft(spec.astype(np.complex64), axis=1)).astype(
-        np.float32)
+    spec = np.ascontiguousarray(np.moveaxis(
+        signals[..., :mid] + 1j * signals[..., mid:], 1, 2).astype(
+            np.complex64))
+    out = np.fft.ifft(spec, axis=-1).real
+    return np.ascontiguousarray(np.moveaxis(out, 2, 1)).astype(np.float32)
 
 
 def segment_recording(raw_signals: np.ndarray, raw_spikes: np.ndarray,
@@ -69,12 +91,17 @@ def segment_recording(raw_signals: np.ndarray, raw_spikes: np.ndarray,
     exactly at T is excluded — ``generate_tfrecords.py:83``).
     """
     assert stride >= 1
+    # callers hand in a time-major VIEW of neuron-major data; a fancy-index
+    # gather through that stride pattern touches one cache line per element
+    # (measured 353 s for sl2048/stride-4 over a 20k x 48 recording vs ~2 s
+    # contiguous), so copy contiguously first — the raw recording is small
+    raw_signals = np.ascontiguousarray(raw_signals, dtype=np.float32)
+    raw_spikes = np.ascontiguousarray(raw_spikes, dtype=np.float32)
     T = raw_signals.shape[0]
     starts = np.arange(0, max(T - sequence_length, 0), stride)
     # vectorised gather instead of a python append loop
     idx = starts[:, None] + np.arange(sequence_length)[None, :]
-    return (raw_signals[idx].astype(np.float32),
-            raw_spikes[idx].astype(np.float32))
+    return raw_signals[idx], raw_spikes[idx]
 
 
 def num_per_shard(sequence_length: int, fft: bool,
@@ -115,41 +142,91 @@ def preprocess(data: dict, sequence_length: int, stride: int,
         raw_spikes = raw_spikes[2:]
     assert raw_signals.shape == raw_spikes.shape
 
-    raw_signals = np.swapaxes(raw_signals, 0, 1)  # -> (time, neurons)
-    raw_spikes = np.swapaxes(raw_spikes, 0, 1)
+    # time-major, contiguous: the raw recording is small, and every chunk
+    # gather below reads it
+    rs = np.ascontiguousarray(np.swapaxes(raw_signals, 0, 1))
+    rp = np.ascontiguousarray(np.swapaxes(raw_spikes, 0, 1))
+    T, C = rs.shape
+    sl = sequence_length
+    starts = np.arange(0, max(T - sl, 0), stride)  # strict < bound
+    N = len(starts)
 
-    meta = {"num_neurons": raw_signals.shape[1]}
-    meta["num_channels"] = meta["num_neurons"]
+    meta = {"num_neurons": C}
+    if apply_fft and conv2d:
+        sig_shape, meta["num_channels"] = (N, sl, C, 2), 2
+    elif apply_fft:
+        sig_shape, meta["num_channels"] = (N, sl, 2 * C), 2 * C
+    elif conv2d:
+        sig_shape, meta["num_channels"] = (N, sl, C, 1), 1
+    else:
+        sig_shape, meta["num_channels"] = (N, sl, C), C
 
-    signals, spikes = segment_recording(raw_signals, raw_spikes,
-                                        sequence_length, stride)
+    # This host supplies fresh pages at ~25-35 MB/s (hypervisor ballooning),
+    # so multi-GB numpy temporaries dominated the old whole-array pipeline
+    # (>1 h for a 20k x 48 sl2048/stride-4 fft dataset). Allocate ONLY the
+    # two result arrays and fill them through small reused chunks; the
+    # normalisation pass below mutates the result in place.
+    signals = np.empty(sig_shape, np.float32)
+    spikes = np.empty((N, sl, C), np.float32)
 
-    if apply_fft:
-        signals = fft_signals(signals)
-        meta["num_channels"] = signals.shape[-1]
-
-    if conv2d:
+    gmin, gmax = np.inf, -np.inf
+    pmin = pmax = None
+    offsets = np.arange(sl)
+    chunk = max(1, (8 << 20) // max(1, sl * C * 4))
+    for a in range(0, N, chunk):
+        b = min(N, a + chunk)
+        idx = (starts[a:b, None] + offsets[None, :]).ravel()
+        sig_c = rs[idx].reshape(b - a, sl, C)
+        spikes[a:b] = rp[idx].reshape(b - a, sl, C)
         if apply_fft:
-            mid = signals.shape[-1] // 2
-            signals = np.stack([signals[..., :mid], signals[..., mid:]],
-                               axis=-1)
+            x = np.ascontiguousarray(np.moveaxis(sig_c, 1, 2))  # (n, C, sl)
+            half = np.fft.rfft(x, axis=-1)
+            hre, him = half.real, half.imag
+            re = np.empty_like(x)
+            im = np.empty_like(x)
+            re[..., :sl // 2 + 1] = hre
+            re[..., sl // 2 + 1:] = hre[..., 1:(sl + 1) // 2][..., ::-1]
+            im[..., :sl // 2 + 1] = him
+            im[..., sl // 2 + 1:] = -him[..., 1:(sl + 1) // 2][..., ::-1]
+            if conv2d:
+                signals[a:b, :, :, 0] = np.moveaxis(re, 1, 2)
+                signals[a:b, :, :, 1] = np.moveaxis(im, 1, 2)
+            else:
+                signals[a:b, :, :C] = np.moveaxis(re, 1, 2)
+                signals[a:b, :, C:] = np.moveaxis(im, 1, 2)
+        elif conv2d:
+            signals[a:b, :, :, 0] = sig_c
         else:
-            signals = signals[..., None]
-        meta["num_channels"] = signals.shape[-1]
+            signals[a:b] = sig_c
+        view = signals[a:b]
+        if fft_norm == "per_channel":
+            m, mx = view.min(axis=0), view.max(axis=0)
+            pmin = m if pmin is None else np.minimum(pmin, m, out=pmin)
+            pmax = mx if pmax is None else np.maximum(pmax, mx, out=pmax)
+        else:
+            gmin = min(gmin, float(view.min()))
+            gmax = max(gmax, float(view.max()))
 
     if fft_norm == "per_channel":
-        # one pair per coefficient position: min/max over the segment dim,
-        # shaped like signal_shape (post conv2d reshape) so they broadcast
-        # in normalize/denormalize and in the in-graph metric denorm
-        meta["signals_min"] = np.min(signals, axis=0).astype(np.float32)
-        meta["signals_max"] = np.max(signals, axis=0).astype(np.float32)
+        # one pair per coefficient position, shaped like signal_shape (post
+        # conv2d reshape) so they broadcast in normalize/denormalize and in
+        # the in-graph metric denorm
+        meta["signals_min"] = np.asarray(pmin, np.float32)
+        meta["signals_max"] = np.asarray(pmax, np.float32)
     else:
-        meta["signals_min"] = float(np.min(signals))
-        meta["signals_max"] = float(np.max(signals))
+        meta["signals_min"] = gmin if N else 0.0
+        meta["signals_max"] = gmax if N else 1.0
     meta["fft_norm"] = fft_norm
     if do_normalize:
-        signals = normalize(signals, meta["signals_min"],
-                            meta["signals_max"]).astype(np.float32)
+        x_min = np.float32(meta["signals_min"]) if np.ndim(
+            meta["signals_min"]) == 0 else meta["signals_min"]
+        span = np.asarray(meta["signals_max"], np.float32) - np.asarray(
+            x_min, np.float32)
+        span = np.where(span == 0, np.float32(1), span)
+        for a in range(0, N, chunk):
+            v = signals[a:min(N, a + chunk)]
+            np.subtract(v, x_min, out=v)
+            np.divide(v, span, out=v)
 
     return signals, spikes, meta
 
