@@ -182,12 +182,22 @@ def bench_oasis_dense(T: int = 2048, n_traces: int = 16384,
     the on-device 96->160 ladder re-dispatch plus any residual host redo —
     the honest worst case next to :func:`bench_oasis`'s friendly-data
     number. Timed host-to-host (including the per-call device_put and the
-    int8 gather), which is exactly what the eval pipeline pays per chunk."""
-    from calciumgan_tpu.ops.oasis import deconvolve_signals_host
+    int8 gather), which is exactly what the eval pipeline pays per chunk.
+
+    Returns ``(host_to_host, device_resident)`` traces/s. The second number
+    times ONLY the on-device ladder work (depth-96 dispatch + redo check +
+    depth-160 re-dispatch, device-resident input, scalar sync) so the
+    escalation cost is separable from the ~400 ms/8 MB tunnel upload that
+    dominates the host-to-host figure here — and is directly comparable to
+    :func:`bench_oasis`'s device-resident friendly-data number."""
+    import jax.numpy as jnp
+    from calciumgan_tpu.ops.oasis import (_DEPTH_LADDER,
+                                          deconvolve_signals_host)
+    from calciumgan_tpu.ops.oasis_pallas import oasis_ar1_pallas
     from calciumgan_tpu.ops.oasis_ref import synth_ar1_traces
 
     if jax.default_backend() != "tpu":
-        return None  # interpret-mode Pallas at this size is not a benchmark
+        return None, None  # interpret-mode Pallas here is not a benchmark
 
     traces = synth_ar1_traces(np.random.default_rng(2), n_traces, T,
                               rate=rate)
@@ -200,7 +210,31 @@ def bench_oasis_dense(T: int = 2048, n_traces: int = 16384,
         start = time.perf_counter()
         deconvolve_signals_host(y)
         times.append(time.perf_counter() - start)
-    return n_traces / float(np.median(times))
+    host_to_host = n_traces / float(np.median(times))
+
+    # device-resident ladder: same two dispatches the driver runs on this
+    # data (96 overflows at 6% rate -> 160), minus the host upload/gather
+    @jax.jit
+    def run(y, eps):
+        yy = y + eps
+        _, s0, redo0 = oasis_ar1_pallas(yy, g=0.95, lam=0.0, s_min=0.55,
+                                        depth=_DEPTH_LADDER[0])
+        _, s1, redo1 = oasis_ar1_pallas(yy, g=0.95, lam=0.0, s_min=0.55,
+                                        depth=_DEPTH_LADDER[1])
+        keep = redo0.mean() > 0.10
+        s = jnp.where(keep, (s1 > 0.5).astype(jnp.int8).sum(),
+                      (s0 > 0.5).astype(jnp.int8).sum())
+        return s + redo0.sum() + redo1.sum()
+
+    dev = jax.device_put(traces)
+    float(run(dev, jnp.float32(0)))  # compile
+    times = []
+    for i in range(5):
+        start = time.perf_counter()
+        float(run(dev, jnp.float32(1e-6 * (i + 1))))
+        times.append(time.perf_counter() - start)
+    device_resident = n_traces / float(np.median(times))
+    return host_to_host, device_resident
 
 
 def _probe_device(retries: int = 6, wait_s: int = 120) -> bool:
@@ -250,7 +284,7 @@ def main():
         raise SystemExit(2)
     steps_per_sec, n_dev, tflop, mfu = bench_train_step()
     traces_per_sec = bench_oasis()
-    dense_traces_per_sec = bench_oasis_dense()
+    dense_traces_per_sec, dense_dev_traces_per_sec = bench_oasis_dense()
 
     ref_lo, ref_hi = _reference_band(tflop or 11.08)
     print(json.dumps({
@@ -273,10 +307,16 @@ def main():
         "oasis_traces_per_sec_sl2048": round(traces_per_sec, 1),
         "oasis_dense_traces_per_sec_sl2048": (
             round(dense_traces_per_sec, 1) if dense_traces_per_sec else None),
+        "oasis_dense_device_traces_per_sec_sl2048": (
+            round(dense_dev_traces_per_sec, 1)
+            if dense_dev_traces_per_sec else None),
         "oasis_dense_note": "6% spike-rate traces through the full eval "
                             "driver (depth-ladder 96->160 on-device "
                             "re-dispatch + host redo), timed host-to-host "
-                            "incl. upload",
+                            "incl. upload; the _device_ variant times only "
+                            "the on-device ladder (both dispatches, "
+                            "device-resident input) and is comparable to "
+                            "the friendly-data number",
         "oasis_backend": "pallas" if jax.default_backend() == "tpu"
                          else "while_loop",
     }))

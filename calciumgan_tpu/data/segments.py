@@ -165,7 +165,7 @@ def preprocess(data: dict, sequence_length: int, stride: int,
     # so multi-GB numpy temporaries dominated the old whole-array pipeline
     # (>1 h for a 20k x 48 sl2048/stride-4 fft dataset). Allocate ONLY the
     # two result arrays and fill them through small reused chunks; the
-    # normalisation pass below mutates the result in place.
+    # normalisation pass below also walks chunk-sized views.
     signals = np.empty(sig_shape, np.float32)
     spikes = np.empty((N, sl, C), np.float32)
 
@@ -179,21 +179,12 @@ def preprocess(data: dict, sequence_length: int, stride: int,
         sig_c = rs[idx].reshape(b - a, sl, C)
         spikes[a:b] = rp[idx].reshape(b - a, sl, C)
         if apply_fft:
-            x = np.ascontiguousarray(np.moveaxis(sig_c, 1, 2))  # (n, C, sl)
-            half = np.fft.rfft(x, axis=-1)
-            hre, him = half.real, half.imag
-            re = np.empty_like(x)
-            im = np.empty_like(x)
-            re[..., :sl // 2 + 1] = hre
-            re[..., sl // 2 + 1:] = hre[..., 1:(sl + 1) // 2][..., ::-1]
-            im[..., :sl // 2 + 1] = him
-            im[..., sl // 2 + 1:] = -him[..., 1:(sl + 1) // 2][..., ::-1]
+            spec = fft_signals(sig_c)  # (n, sl, 2C): concat(real, imag)
             if conv2d:
-                signals[a:b, :, :, 0] = np.moveaxis(re, 1, 2)
-                signals[a:b, :, :, 1] = np.moveaxis(im, 1, 2)
+                signals[a:b, :, :, 0] = spec[..., :C]
+                signals[a:b, :, :, 1] = spec[..., C:]
             else:
-                signals[a:b, :, :C] = np.moveaxis(re, 1, 2)
-                signals[a:b, :, C:] = np.moveaxis(im, 1, 2)
+                signals[a:b] = spec
         elif conv2d:
             signals[a:b, :, :, 0] = sig_c
         else:
@@ -210,7 +201,11 @@ def preprocess(data: dict, sequence_length: int, stride: int,
     if fft_norm == "per_channel":
         # one pair per coefficient position, shaped like signal_shape (post
         # conv2d reshape) so they broadcast in normalize/denormalize and in
-        # the in-graph metric denorm
+        # the in-graph metric denorm; N == 0 degrades to the identity map
+        # exactly like the global branch's 0.0/1.0 fallback
+        if pmin is None:
+            pmin = np.zeros(sig_shape[1:], np.float32)
+            pmax = np.ones(sig_shape[1:], np.float32)
         meta["signals_min"] = np.asarray(pmin, np.float32)
         meta["signals_max"] = np.asarray(pmax, np.float32)
     else:
@@ -218,15 +213,10 @@ def preprocess(data: dict, sequence_length: int, stride: int,
         meta["signals_max"] = gmax if N else 1.0
     meta["fft_norm"] = fft_norm
     if do_normalize:
-        x_min = np.float32(meta["signals_min"]) if np.ndim(
-            meta["signals_min"]) == 0 else meta["signals_min"]
-        span = np.asarray(meta["signals_max"], np.float32) - np.asarray(
-            x_min, np.float32)
-        span = np.where(span == 0, np.float32(1), span)
         for a in range(0, N, chunk):
-            v = signals[a:min(N, a + chunk)]
-            np.subtract(v, x_min, out=v)
-            np.divide(v, span, out=v)
+            b = min(N, a + chunk)
+            signals[a:b] = normalize(signals[a:b], meta["signals_min"],
+                                     meta["signals_max"])
 
     return signals, spikes, meta
 

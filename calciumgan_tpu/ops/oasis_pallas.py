@@ -62,64 +62,105 @@ def default_depth(T: int) -> int:
     return min(T, 128)
 
 
-def _oasis_kernel(T: int, D: int, g: float, s_min: float, K: int):
+def _stack_machine(yy_ref, c_ref, vs_ref, ws_ref, ls_ref, D: int, g: float,
+                   s_min: float, K: int):
+    """Shared pool-stack machinery for both kernel variants.
+
+    The whole-trace and time-chunked kernels run the SAME numerics-critical
+    event bodies over the same scratch refs; building them once here keeps
+    merge semantics, the ``n >= 2`` guard, and the redo-flag logic from
+    drifting between the two. Returns ``(init_stacks, push, recon_step)``:
+
+    - ``init_stacks()``: stacks start empty; w=1 keeps v/w finite on
+      never-written rows.
+    - ``push(t, (n, redo))``: one timestep — lockstep roll-down push of
+      ``yy_ref[t]``, a *fixed* ``K`` lane-masked merge attempts (pure
+      vector work, no scalar syncs), overflow/unresolved-violation flags
+      ORed into ``redo``.
+    - ``recon_step(t, rem)``: one backward-replay step of the fused
+      reconstruction — writes ``c_ref[t] = h0 * g^(rem-1)`` from the pool
+      pinned at stack row 0 and pops exhausted lanes via the same
+      lane-masked roll as the merge step.
+    """
     log_g = math.log(g)
 
-    def kernel(yy_ref, c_ref, s_ref, redo_ref, vs_ref, ws_ref, ls_ref,
-               n_ref):
-        # stacks start empty; w=1 keeps v/w finite on never-written rows
+    def violation(n):
+        # top pool (row 0) vs its left neighbour (row 1); int32 mask —
+        # Mosaic mishandles (1, 128) i1 vectors in loop carries
+        v0, w0 = vs_ref[0:1, :], ws_ref[0:1, :]
+        v1, w1 = vs_ref[1:2, :], ws_ref[1:2, :]
+        l1 = ls_ref[1:2, :]
+        gl = jnp.exp(l1 * log_g)
+        viol = (n >= 2) & (v0 / w0 < gl * (v1 / w1) + s_min)
+        return viol.astype(jnp.int32)
+
+    def masked_merge(n):
+        violi = violation(n)
+        viol = violi > 0
+        v0, w0, l0 = vs_ref[0:1, :], ws_ref[0:1, :], ls_ref[0:1, :]
+        v1, w1, l1 = vs_ref[1:2, :], ws_ref[1:2, :], ls_ref[1:2, :]
+        gl = jnp.exp(l1 * log_g)
+        mv = v1 + gl * v0
+        mw = w1 + gl * gl * w0
+        ml = l1 + l0
+        # lane-masked pop: violating lanes shift up, row 0 <- merged pool
+        vs_ref[:] = jnp.where(viol, jnp.roll(vs_ref[:], -1, axis=0),
+                              vs_ref[:])
+        ws_ref[:] = jnp.where(viol, jnp.roll(ws_ref[:], -1, axis=0),
+                              ws_ref[:])
+        ls_ref[:] = jnp.where(viol, jnp.roll(ls_ref[:], -1, axis=0),
+                              ls_ref[:])
+        vs_ref[0:1, :] = jnp.where(viol, mv, v0)
+        ws_ref[0:1, :] = jnp.where(viol, mw, w0)
+        ls_ref[0:1, :] = jnp.where(viol, ml, l0)
+        return n - violi
+
+    def init_stacks():
         vs_ref[:] = jnp.zeros((D, _LANES), jnp.float32)
         ws_ref[:] = jnp.ones((D, _LANES), jnp.float32)
         ls_ref[:] = jnp.ones((D, _LANES), jnp.float32)
 
-        def violation(n):
-            # top pool (row 0) vs its left neighbour (row 1); int32 mask —
-            # Mosaic mishandles (1, 128) i1 vectors in loop carries
-            v0, w0 = vs_ref[0:1, :], ws_ref[0:1, :]
-            v1, w1 = vs_ref[1:2, :], ws_ref[1:2, :]
-            l1 = ls_ref[1:2, :]
-            gl = jnp.exp(l1 * log_g)
-            viol = (n >= 2) & (v0 / w0 < gl * (v1 / w1) + s_min)
-            return viol.astype(jnp.int32)
+    def push(t, carry):
+        n, redo = carry
+        # lockstep push: uniform roll-down, new singleton pool at row 0
+        vs_ref[:] = jnp.roll(vs_ref[:], 1, axis=0)
+        ws_ref[:] = jnp.roll(ws_ref[:], 1, axis=0)
+        ls_ref[:] = jnp.roll(ls_ref[:], 1, axis=0)
+        vs_ref[0:1, :] = yy_ref[pl.ds(t, 1), :]
+        ws_ref[0:1, :] = jnp.ones((1, _LANES), jnp.float32)
+        ls_ref[0:1, :] = jnp.ones((1, _LANES), jnp.float32)
+        n = n + 1
+        redo = jnp.maximum(redo, (n > D).astype(jnp.int32))
+        # fixed merge budget: pure vector work, no scalar syncs
+        for _ in range(K):
+            n = masked_merge(n)
+        # lanes still violating could not resolve in K attempts: flag
+        redo = jnp.maximum(redo, violation(n))
+        return n, redo
 
-        def masked_merge(n):
-            violi = violation(n)
-            viol = violi > 0
-            v0, w0, l0 = vs_ref[0:1, :], ws_ref[0:1, :], ls_ref[0:1, :]
-            v1, w1, l1 = vs_ref[1:2, :], ws_ref[1:2, :], ls_ref[1:2, :]
-            gl = jnp.exp(l1 * log_g)
-            mv = v1 + gl * v0
-            mw = w1 + gl * gl * w0
-            ml = l1 + l0
-            # lane-masked pop: violating lanes shift up, row 0 <- merged pool
-            vs_ref[:] = jnp.where(viol, jnp.roll(vs_ref[:], -1, axis=0),
-                                  vs_ref[:])
-            ws_ref[:] = jnp.where(viol, jnp.roll(ws_ref[:], -1, axis=0),
-                                  ws_ref[:])
-            ls_ref[:] = jnp.where(viol, jnp.roll(ls_ref[:], -1, axis=0),
-                                  ls_ref[:])
-            vs_ref[0:1, :] = jnp.where(viol, mv, v0)
-            ws_ref[0:1, :] = jnp.where(viol, mw, w0)
-            ls_ref[0:1, :] = jnp.where(viol, ml, l0)
-            return n - violi
+    def recon_step(t, rem):
+        h0 = jnp.maximum(vs_ref[0:1, :] / ws_ref[0:1, :], 0.0)
+        decay = jnp.exp((rem - 1.0) * log_g)
+        c_ref[pl.ds(t, 1), :] = h0 * decay
+        rem = rem - 1.0
+        done = rem < 0.5
+        vs_ref[:] = jnp.where(done, jnp.roll(vs_ref[:], -1, axis=0),
+                              vs_ref[:])
+        ws_ref[:] = jnp.where(done, jnp.roll(ws_ref[:], -1, axis=0),
+                              ws_ref[:])
+        ls_ref[:] = jnp.where(done, jnp.roll(ls_ref[:], -1, axis=0),
+                              ls_ref[:])
+        return jnp.where(done, ls_ref[0:1, :], rem)
 
-        def push(t, carry):
-            n, redo = carry
-            # lockstep push: uniform roll-down, new singleton pool at row 0
-            vs_ref[:] = jnp.roll(vs_ref[:], 1, axis=0)
-            ws_ref[:] = jnp.roll(ws_ref[:], 1, axis=0)
-            ls_ref[:] = jnp.roll(ls_ref[:], 1, axis=0)
-            vs_ref[0:1, :] = yy_ref[pl.ds(t, 1), :]
-            ws_ref[0:1, :] = jnp.ones((1, _LANES), jnp.float32)
-            ls_ref[0:1, :] = jnp.ones((1, _LANES), jnp.float32)
-            n = n + 1
-            redo = jnp.maximum(redo, (n > D).astype(jnp.int32))
-            # fixed merge budget: pure vector work, no scalar syncs
-            for _ in range(K):
-                n = masked_merge(n)
-            # lanes still violating could not resolve in K attempts: flag
-            redo = jnp.maximum(redo, violation(n))
-            return n, redo
+    return init_stacks, push, recon_step
+
+
+def _oasis_kernel(T: int, D: int, g: float, s_min: float, K: int):
+    def kernel(yy_ref, c_ref, s_ref, redo_ref, vs_ref, ws_ref, ls_ref,
+               n_ref):
+        init_stacks, push, recon_step = _stack_machine(
+            yy_ref, c_ref, vs_ref, ws_ref, ls_ref, D, g, s_min, K)
+        init_stacks()
 
         # seed loop carries from memory, not splat constants: Mosaic gives
         # splats a fully-replicated layout that cannot unify with the body's
@@ -138,22 +179,8 @@ def _oasis_kernel(T: int, D: int, g: float, s_min: float, K: int):
         # XLA splat-scan + associative_scan pass (15-20 ms per 4096 traces
         # at sl2048, round-2 BASELINE.md) with ~3 extra rolls per timestep
         # inside the same dispatch.
-        def recon(i, rem):
-            t = T - 1 - i
-            h0 = jnp.maximum(vs_ref[0:1, :] / ws_ref[0:1, :], 0.0)
-            decay = jnp.exp((rem - 1.0) * log_g)
-            c_ref[pl.ds(t, 1), :] = h0 * decay
-            rem = rem - 1.0
-            done = rem < 0.5
-            vs_ref[:] = jnp.where(done, jnp.roll(vs_ref[:], -1, axis=0),
-                                  vs_ref[:])
-            ws_ref[:] = jnp.where(done, jnp.roll(ws_ref[:], -1, axis=0),
-                                  ws_ref[:])
-            ls_ref[:] = jnp.where(done, jnp.roll(ls_ref[:], -1, axis=0),
-                                  ls_ref[:])
-            return jnp.where(done, ls_ref[0:1, :], rem)
-
-        lax.fori_loop(0, T, recon, ls_ref[0:1, :])
+        lax.fori_loop(0, T, lambda i, rem: recon_step(T - 1 - i, rem),
+                      ls_ref[0:1, :])
 
         # spikes: s_t = c_t - g*c_{t-1}, s_0 = 0 (one vector pass)
         c = c_ref[:]
@@ -173,71 +200,26 @@ def _oasis_kernel_long(Tc: int, C: int, T: int, D: int, g: float,
     though only one (Tc, 128) fluorescence window is VMEM-resident at a
     time — this lifts the whole-trace VMEM cap (``_PALLAS_MAX_T``) that
     forces 20k-frame recordings onto the host kernel."""
-    log_g = math.log(g)
 
     def kernel(yy_ref, c_ref, redo_ref, vs_ref, ws_ref, ls_ref, n_ref,
                rem_ref):
         i = pl.program_id(1)
+        init_stacks, push, recon_step = _stack_machine(
+            yy_ref, c_ref, vs_ref, ws_ref, ls_ref, D, g, s_min, K)
 
         @pl.when(i == 0)
         def _init():
-            vs_ref[:] = jnp.zeros((D, _LANES), jnp.float32)
-            ws_ref[:] = jnp.ones((D, _LANES), jnp.float32)
-            ls_ref[:] = jnp.ones((D, _LANES), jnp.float32)
+            init_stacks()
             n_ref[:] = jnp.zeros((1, _LANES), jnp.int32)
             # redo_ref keeps the SAME block index for every grid step of a
             # lane block, so it doubles as the cross-chunk carry
             redo_ref[:] = jnp.zeros((1, _LANES), jnp.int32)
-
-        def violation(n):
-            v0, w0 = vs_ref[0:1, :], ws_ref[0:1, :]
-            v1, w1 = vs_ref[1:2, :], ws_ref[1:2, :]
-            l1 = ls_ref[1:2, :]
-            gl = jnp.exp(l1 * log_g)
-            viol = (n >= 2) & (v0 / w0 < gl * (v1 / w1) + s_min)
-            return viol.astype(jnp.int32)
-
-        def masked_merge(n):
-            violi = violation(n)
-            viol = violi > 0
-            v0, w0, l0 = vs_ref[0:1, :], ws_ref[0:1, :], ls_ref[0:1, :]
-            v1, w1, l1 = vs_ref[1:2, :], ws_ref[1:2, :], ls_ref[1:2, :]
-            gl = jnp.exp(l1 * log_g)
-            mv = v1 + gl * v0
-            mw = w1 + gl * gl * w0
-            ml = l1 + l0
-            vs_ref[:] = jnp.where(viol, jnp.roll(vs_ref[:], -1, axis=0),
-                                  vs_ref[:])
-            ws_ref[:] = jnp.where(viol, jnp.roll(ws_ref[:], -1, axis=0),
-                                  ws_ref[:])
-            ls_ref[:] = jnp.where(viol, jnp.roll(ls_ref[:], -1, axis=0),
-                                  ls_ref[:])
-            vs_ref[0:1, :] = jnp.where(viol, mv, v0)
-            ws_ref[0:1, :] = jnp.where(viol, mw, w0)
-            ls_ref[0:1, :] = jnp.where(viol, ml, l0)
-            return n - violi
 
         @pl.when(i < C)
         def _forward():
             base = i * Tc
             # the final chunk may be partial: run exactly the real steps
             steps = jnp.minimum(Tc, T - base)
-
-            def push(t, carry):
-                n, redo = carry
-                vs_ref[:] = jnp.roll(vs_ref[:], 1, axis=0)
-                ws_ref[:] = jnp.roll(ws_ref[:], 1, axis=0)
-                ls_ref[:] = jnp.roll(ls_ref[:], 1, axis=0)
-                vs_ref[0:1, :] = yy_ref[pl.ds(t, 1), :]
-                ws_ref[0:1, :] = jnp.ones((1, _LANES), jnp.float32)
-                ls_ref[0:1, :] = jnp.ones((1, _LANES), jnp.float32)
-                n = n + 1
-                redo = jnp.maximum(redo, (n > D).astype(jnp.int32))
-                for _ in range(K):
-                    n = masked_merge(n)
-                redo = jnp.maximum(redo, violation(n))
-                return n, redo
-
             n, redo = lax.fori_loop(0, steps, push,
                                     (n_ref[:], redo_ref[:]))
             n_ref[:] = n
@@ -252,23 +234,9 @@ def _oasis_kernel_long(Tc: int, C: int, T: int, D: int, g: float,
             chunk = 2 * C - 1 - i
             base = chunk * Tc
             steps = jnp.minimum(Tc, T - base)
-
-            def recon(j, rem):
-                t = steps - 1 - j
-                h0 = jnp.maximum(vs_ref[0:1, :] / ws_ref[0:1, :], 0.0)
-                decay = jnp.exp((rem - 1.0) * log_g)
-                c_ref[pl.ds(t, 1), :] = h0 * decay
-                rem = rem - 1.0
-                done = rem < 0.5
-                vs_ref[:] = jnp.where(done, jnp.roll(vs_ref[:], -1, axis=0),
-                                      vs_ref[:])
-                ws_ref[:] = jnp.where(done, jnp.roll(ws_ref[:], -1, axis=0),
-                                      ws_ref[:])
-                ls_ref[:] = jnp.where(done, jnp.roll(ls_ref[:], -1, axis=0),
-                                      ls_ref[:])
-                return jnp.where(done, ls_ref[0:1, :], rem)
-
-            rem_ref[:] = lax.fori_loop(0, steps, recon, rem_ref[:])
+            rem_ref[:] = lax.fori_loop(
+                0, steps, lambda j, rem: recon_step(steps - 1 - j, rem),
+                rem_ref[:])
 
     return kernel
 

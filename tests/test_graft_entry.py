@@ -45,7 +45,10 @@ def test_dryrun_parent_never_initializes_backend(tmp_path):
            if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
     # simulate the driver invocation: platform unpinned (the hosted env's
     # pre-set TPU plugin would win), so in-proc probing is unsafe
+    # outer bound must exceed the product's inner 600 s child timeout so a
+    # wedged child surfaces _dryrun_in_subprocess's diagnostic RuntimeError
+    # (with captured stderr) instead of a bare TimeoutExpired here
     proc = subprocess.run([sys.executable, "-c", code], env=env, cwd=repo,
-                          capture_output=True, text=True, timeout=570)
+                          capture_output=True, text=True, timeout=660)
     assert proc.returncode == 0, proc.stderr[-4000:]
     assert "dryrun_multichip ok" in proc.stdout, proc.stdout
