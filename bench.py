@@ -149,13 +149,14 @@ def bench_oasis(T: int = 2048, n_traces: int = 16384):
         # data takes without flags (denser data escalates on device — see
         # ops.oasis._DEPTH_LADDER); redo flags are resolved host-side and
         # are zero by construction on this data
-        from calciumgan_tpu.ops.oasis import _DEPTH_LADDER
+        from calciumgan_tpu.ops.oasis import _DEPTH_LADDER, _MERGE_BUDGET
         from calciumgan_tpu.ops.oasis_pallas import oasis_ar1_pallas
 
         @jax.jit
         def run(y, eps):
             _, s, redo = oasis_ar1_pallas(y + eps, g=0.95, lam=0.0,
-                                          s_min=0.55, depth=_DEPTH_LADDER[0])
+                                          s_min=0.55, depth=_DEPTH_LADDER[0],
+                                          merge_attempts=_MERGE_BUDGET)
             return (s > 0.5).astype(jnp.int8).sum() + redo.sum()
     else:
         from calciumgan_tpu.ops.oasis import deconvolve_signals
@@ -191,7 +192,7 @@ def bench_oasis_dense(T: int = 2048, n_traces: int = 16384,
     dominates the host-to-host figure here — and is directly comparable to
     :func:`bench_oasis`'s device-resident friendly-data number."""
     import jax.numpy as jnp
-    from calciumgan_tpu.ops.oasis import (_DEPTH_LADDER,
+    from calciumgan_tpu.ops.oasis import (_DEPTH_LADDER, _MERGE_BUDGET,
                                           deconvolve_signals_host)
     from calciumgan_tpu.ops.oasis_pallas import oasis_ar1_pallas
     from calciumgan_tpu.ops.oasis_ref import synth_ar1_traces
@@ -218,10 +219,12 @@ def bench_oasis_dense(T: int = 2048, n_traces: int = 16384,
     def run(y, eps):
         yy = y + eps
         _, s0, redo0 = oasis_ar1_pallas(yy, g=0.95, lam=0.0, s_min=0.55,
-                                        depth=_DEPTH_LADDER[0])
+                                        depth=_DEPTH_LADDER[0],
+                                        merge_attempts=_MERGE_BUDGET)
         _, s1, redo1 = oasis_ar1_pallas(yy, g=0.95, lam=0.0, s_min=0.55,
-                                        depth=_DEPTH_LADDER[1])
-        keep = redo0.mean() > 0.10
+                                        depth=_DEPTH_LADDER[1],
+                                        merge_attempts=_MERGE_BUDGET)
+        keep = ((redo0 & 1) != 0).mean() > 0.10  # depth flags only
         s = jnp.where(keep, (s1 > 0.5).astype(jnp.int8).sum(),
                       (s0 > 0.5).astype(jnp.int8).sum())
         return s + redo0.sum() + redo1.sum()

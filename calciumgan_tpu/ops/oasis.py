@@ -162,9 +162,9 @@ def deconvolve_signals(signals: jnp.ndarray, g: float = 0.95,
             # round-trip should prefer :func:`deconvolve_signals_host`,
             # which gathers and recomputes only the flagged traces.
             _, s_w = oasis_ar1_jax(signals, g=g, lam=0.0, s_min=s_min)
-            return jnp.where(redo[..., None], s_w, s)
+            return jnp.where((redo != 0)[..., None], s_w, s)
 
-        s = lax.cond(jnp.any(redo), fix, lambda x: x, s)
+        s = lax.cond(jnp.any(redo != 0), fix, lambda x: x, s)
     return (s > threshold).astype(jnp.float32)
 
 
@@ -174,11 +174,25 @@ def deconvolve_signals(signals: jnp.ndarray, g: float = 0.95,
 # workload (worst case ~54 pools at the production s_min=0.55 — see
 # oasis_pallas module doc). Atypically dense data (e.g. >=5% spikes/frame)
 # legitimately needs deeper stacks; when more than ``_ESCALATE_FRAC`` of a
-# chunk's lanes flag, re-dispatching the whole chunk one rung deeper beats
-# the host redo path (one 16k-trace dispatch ~ 0.13 s ~ recomputing ~1.7k
-# traces on the C++ host kernel at 13.6k traces/s/core).
+# chunk's lanes carry a DEPTH flag (redo bit 0), re-dispatching the whole
+# chunk one rung deeper beats the host redo path (one 16k-trace dispatch
+# ~ 0.13 s ~ recomputing ~1.7k traces on the C++ host kernel at
+# 13.6k traces/s/core).
 _DEPTH_LADDER = (96, 160, 256)
 _ESCALATE_FRAC = 0.10
+
+# Eval-path per-timestep merge budget: the kernel's default is 4 (covers
+# everything ever measured with margin), but each masked-merge attempt is 3
+# (D, 128) VMEM rolls per timestep, so the budget is ~2/3 of the forward
+# sweep's roll traffic. Measured per-timestep merge demand at the production
+# s_min=0.55 — synthetic spiky + 6%-dense calcium, real validation traces,
+# and raw early-epoch GAN output (the nastiest data the eval sees) — is <= 2
+# on 831/832 traces (max 3; round-4 study), so budget 2 leaves ~0.1% of
+# traces merge-flagged (measured 22/16384 on the bench data; +38% throughput:
+# 251k vs 182k traces/s at depth 96). Merge-flagged traces are recomputed
+# exactly host-side — and because the redo output is a cause bitmask, they
+# do NOT trigger the depth ladder (deeper stacks add no merge attempts).
+_MERGE_BUDGET = 2
 
 # Longest trace the whole-trace Pallas kernel can hold: each grid step
 # keeps THREE (T, 128) float32 VMEM windows (fluorescence in, c and s out),
@@ -242,13 +256,16 @@ def deconvolve_signals_host(signals, g: float = 0.95, s_min: float = 0.55,
         else:
             spikes_dev, redo_dev = _pallas_spikes(dev, g, s_min, threshold,
                                                   d, interpret)
-        flags_frac = float(np.asarray(jax.device_get(redo_dev)).mean())
-        if flags_frac <= _ESCALATE_FRAC or i == len(ladder) - 1:
+        flags = np.asarray(jax.device_get(redo_dev))
+        # escalate only on DEPTH flags (bit 0): a deeper rung cannot help a
+        # lane whose merge budget was exhausted (bit 1) — those go straight
+        # to the exact host redo below
+        depth_frac = float(((flags & 1) != 0).mean())
+        if depth_frac <= _ESCALATE_FRAC or i == len(ladder) - 1:
             break
     # np.array (copy): device_get views are read-only and flagged rows are
     # patched in place below
     spikes = np.array(jax.device_get(spikes_dev))
-    flags = np.asarray(jax.device_get(redo_dev))
     if flags.any():
         idx = np.nonzero(flags.reshape(-1))[0]
         flat = signals.reshape((-1, signals.shape[-1]))
@@ -265,7 +282,8 @@ def _pallas_spikes(y, g, s_min, threshold, depth, interpret):
     cache every call and recompile the same (chunk, T) program per chunk."""
     from calciumgan_tpu.ops.oasis_pallas import oasis_ar1_pallas
     _, s, redo = oasis_ar1_pallas(y, g=g, lam=0.0, s_min=s_min,
-                                  depth=depth, interpret=interpret)
+                                  depth=depth, interpret=interpret,
+                                  merge_attempts=_MERGE_BUDGET)
     return (s > threshold).astype(jnp.int8), redo
 
 
@@ -277,7 +295,8 @@ def _pallas_spikes_long(y, g, s_min, threshold, depth, chunk, interpret):
     from calciumgan_tpu.ops.oasis_pallas import oasis_ar1_pallas_long
     _, s, redo = oasis_ar1_pallas_long(y, g=g, lam=0.0, s_min=s_min,
                                        depth=depth, chunk=chunk,
-                                       interpret=interpret)
+                                       interpret=interpret,
+                                       merge_attempts=_MERGE_BUDGET)
     return (s > threshold).astype(jnp.int8), redo
 
 

@@ -31,8 +31,9 @@ Replaces the external Cython ``oasisAR1`` the reference fans out over a host
   kernel as a backward time replay (current pool pinned at stack row 0,
   lane-masked pops), so one dispatch emits spikes directly. Round 2 did this
   step in XLA outside the kernel (splat-scan + reset affine
-  ``associative_scan``) at 15-20 ms per 4096 sl2048 traces — now ~3 extra
-  VMEM rolls per timestep.
+  ``associative_scan``) at 15-20 ms per 4096 sl2048 traces — now 2 extra
+  VMEM rolls per timestep (the v-stack is converted to pool heights in one
+  pass after the forward sweep, so the w-stack never rides the replay).
 
 Parity: same pool-adjacency algorithm as the numpy golden model
 (:mod:`calciumgan_tpu.ops.oasis_ref`, from Friedrich et al. 2017 Algorithm 1)
@@ -75,12 +76,22 @@ def _stack_machine(yy_ref, c_ref, vs_ref, ws_ref, ls_ref, D: int, g: float,
       never-written rows.
     - ``push(t, (n, redo))``: one timestep — lockstep roll-down push of
       ``yy_ref[t]``, a *fixed* ``K`` lane-masked merge attempts (pure
-      vector work, no scalar syncs), overflow/unresolved-violation flags
-      ORed into ``redo``.
+      vector work, no scalar syncs), failure flags ORed into the ``redo``
+      BITMASK: bit 0 = pool-stack overflow (``n > D`` — a deeper re-dispatch
+      can fix it), bit 1 = merge budget exhausted (a violation survived the
+      ``K`` attempts — only an exact recompute fixes it). The driver
+      escalates the depth ladder on bit 0 alone and host-redoes any nonzero
+      lane (``ops.oasis.deconvolve_signals_host``).
+    - ``finalize_pools()``: one (D, 128) pass converting the v-stack to
+      pool heights ``h = max(v/w, 0)`` IN PLACE once the forward sweep is
+      done. The backward replay then needs only two stacks (h, lengths), so
+      each ``recon_step`` rolls 2 refs instead of 3 — the w rolls were ~1/3
+      of the replay's VMEM traffic and h is constant within a pool anyway.
     - ``recon_step(t, rem)``: one backward-replay step of the fused
       reconstruction — writes ``c_ref[t] = h0 * g^(rem-1)`` from the pool
-      pinned at stack row 0 and pops exhausted lanes via the same
-      lane-masked roll as the merge step.
+      pinned at stack row 0 (``vs_ref`` holds heights after
+      ``finalize_pools``) and pops exhausted lanes via the same lane-masked
+      roll as the merge step.
     """
     log_g = math.log(g)
 
@@ -130,35 +141,36 @@ def _stack_machine(yy_ref, c_ref, vs_ref, ws_ref, ls_ref, D: int, g: float,
         ws_ref[0:1, :] = jnp.ones((1, _LANES), jnp.float32)
         ls_ref[0:1, :] = jnp.ones((1, _LANES), jnp.float32)
         n = n + 1
-        redo = jnp.maximum(redo, (n > D).astype(jnp.int32))
+        redo = redo | (n > D).astype(jnp.int32)
         # fixed merge budget: pure vector work, no scalar syncs
         for _ in range(K):
             n = masked_merge(n)
         # lanes still violating could not resolve in K attempts: flag
-        redo = jnp.maximum(redo, violation(n))
+        redo = redo | (violation(n) * 2)
         return n, redo
 
+    def finalize_pools():
+        vs_ref[:] = jnp.maximum(vs_ref[:] / ws_ref[:], 0.0)
+
     def recon_step(t, rem):
-        h0 = jnp.maximum(vs_ref[0:1, :] / ws_ref[0:1, :], 0.0)
+        h0 = vs_ref[0:1, :]
         decay = jnp.exp((rem - 1.0) * log_g)
         c_ref[pl.ds(t, 1), :] = h0 * decay
         rem = rem - 1.0
         done = rem < 0.5
         vs_ref[:] = jnp.where(done, jnp.roll(vs_ref[:], -1, axis=0),
                               vs_ref[:])
-        ws_ref[:] = jnp.where(done, jnp.roll(ws_ref[:], -1, axis=0),
-                              ws_ref[:])
         ls_ref[:] = jnp.where(done, jnp.roll(ls_ref[:], -1, axis=0),
                               ls_ref[:])
         return jnp.where(done, ls_ref[0:1, :], rem)
 
-    return init_stacks, push, recon_step
+    return init_stacks, push, finalize_pools, recon_step
 
 
 def _oasis_kernel(T: int, D: int, g: float, s_min: float, K: int):
     def kernel(yy_ref, c_ref, s_ref, redo_ref, vs_ref, ws_ref, ls_ref,
                n_ref):
-        init_stacks, push, recon_step = _stack_machine(
+        init_stacks, push, finalize_pools, recon_step = _stack_machine(
             yy_ref, c_ref, vs_ref, ws_ref, ls_ref, D, g, s_min, K)
         init_stacks()
 
@@ -168,6 +180,7 @@ def _oasis_kernel(T: int, D: int, g: float, s_min: float, K: int):
         redo_ref[:] = jnp.zeros((1, _LANES), jnp.int32)
         n, redo = lax.fori_loop(0, T, push, (n_ref[:], redo_ref[:]))
         redo_ref[:] = redo
+        finalize_pools()
 
         # ---- fused reconstruction: backward replay of the pool stacks ----
         # Walking time from T-1 down to 0 keeps the CURRENT pool at the
@@ -177,7 +190,7 @@ def _oasis_kernel(T: int, D: int, g: float, s_min: float, K: int):
         # lane-masked roll as the merge step. Pool lengths sum to T per
         # lane, so T iterations consume every stack exactly. Replaces the
         # XLA splat-scan + associative_scan pass (15-20 ms per 4096 traces
-        # at sl2048, round-2 BASELINE.md) with ~3 extra rolls per timestep
+        # at sl2048, round-2 BASELINE.md) with 2 extra rolls per timestep
         # inside the same dispatch.
         lax.fori_loop(0, T, lambda i, rem: recon_step(T - 1 - i, rem),
                       ls_ref[0:1, :])
@@ -204,7 +217,7 @@ def _oasis_kernel_long(Tc: int, C: int, T: int, D: int, g: float,
     def kernel(yy_ref, c_ref, redo_ref, vs_ref, ws_ref, ls_ref, n_ref,
                rem_ref):
         i = pl.program_id(1)
-        init_stacks, push, recon_step = _stack_machine(
+        init_stacks, push, finalize_pools, recon_step = _stack_machine(
             yy_ref, c_ref, vs_ref, ws_ref, ls_ref, D, g, s_min, K)
 
         @pl.when(i == 0)
@@ -227,6 +240,7 @@ def _oasis_kernel_long(Tc: int, C: int, T: int, D: int, g: float,
 
             @pl.when(i == C - 1)
             def _seed_backward():
+                finalize_pools()
                 rem_ref[:] = ls_ref[0:1, :]
 
         @pl.when(i >= C)
@@ -313,7 +327,7 @@ def oasis_ar1_pallas_long(signals: jnp.ndarray, g: float = 0.95,
     s = c - g * jnp.concatenate(
         [jnp.zeros((B, 1), jnp.float32), c[:, :-1]], axis=1)
     s = s.at[:, 0].set(0.0)
-    redo = redo[0, :B].astype(jnp.bool_)
+    redo = redo[0, :B]
     return (c.reshape(signals.shape), s.reshape(signals.shape),
             redo.reshape(batch_shape))
 
@@ -337,9 +351,11 @@ def oasis_ar1_pallas(signals: jnp.ndarray, g: float = 0.95, lam: float = 0.0,
 
     Returns:
         (c, s, redo): denoised trace and spikes shaped like ``signals``, plus
-        a bool flag per trace (batch shape) marking traces whose result is
-        unreliable (stack overflow or unresolved merges) and must be
-        recomputed with the exact path.
+        an int32 flag BITMASK per trace (batch shape) marking traces whose
+        result is unreliable and must be recomputed with the exact path:
+        bit 0 = pool-stack overflow (a deeper ``depth`` would fix it),
+        bit 1 = merge budget exhausted (only an exact recompute fixes it);
+        0 = trustworthy.
     """
     signals = jnp.asarray(signals, jnp.float32)
     batch_shape = signals.shape[:-1]
@@ -379,6 +395,6 @@ def oasis_ar1_pallas(signals: jnp.ndarray, g: float = 0.95, lam: float = 0.0,
     )(yyT)
 
     c, s = cT.T[:B], sT.T[:B]
-    redo = redo[0, :B].astype(jnp.bool_)
+    redo = redo[0, :B]
     return (c.reshape(signals.shape), s.reshape(signals.shape),
             redo.reshape(batch_shape))

@@ -102,7 +102,8 @@ def test_deconvolve_signals_host_escalates_depth(rng, monkeypatch):
     # precondition: dense traces overflow depth 8 on well over 10% of lanes
     _, _, redo = oasis_ar1_pallas(y, g=0.95, s_min=0.55, depth=8,
                                   interpret=True)
-    assert float(np.asarray(redo).mean()) > oasis_mod._ESCALATE_FRAC
+    assert float(((np.asarray(redo) & 1) != 0).mean()) > \
+        oasis_mod._ESCALATE_FRAC
 
     redone_rows = []
     real_exact = oasis_mod._exact_spikes_host
@@ -117,6 +118,41 @@ def test_deconvolve_signals_host_escalates_depth(rng, monkeypatch):
     np.testing.assert_array_equal(out, exact)
     # the deep rung (192 = T) resolves every lane: nothing went to the host
     assert redone_rows == []
+
+
+def test_deconvolve_signals_host_merge_flags_skip_ladder(monkeypatch):
+    """Merge-budget flags (redo bit 1) must go straight to the exact host
+    redo, NOT walk the depth ladder: a deeper stack adds no merge attempts,
+    so escalating on them would waste whole-chunk re-dispatches. Trace 423
+    of this synth draw deterministically needs 3 merges in one timestep
+    (the round-4 merge-demand study), so budget 2 merge-flags it."""
+    from calciumgan_tpu.ops import oasis as oasis_mod
+    from calciumgan_tpu.ops.oasis_pallas import oasis_ar1_pallas
+    from calciumgan_tpu.ops.oasis_ref import synth_ar1_traces
+
+    y = synth_ar1_traces(np.random.default_rng(1), 512, 2048)[423:424]
+    y = np.asarray(np.repeat(y, 12, axis=0), np.float32)
+    exact = np.asarray(deconvolve_signals(y, backend="while")).astype(np.int8)
+
+    # precondition: budget 2 flags EVERY lane with the merge bit alone —
+    # 100% flagged, so cause-blind escalation would re-dispatch twice
+    _, _, redo = oasis_ar1_pallas(y, g=0.95, s_min=0.55, depth=96,
+                                  merge_attempts=2, interpret=True)
+    redo = np.asarray(redo)
+    assert ((redo & 2) != 0).all() and ((redo & 1) == 0).all()
+
+    dispatch_depths = []
+    real_dispatch = oasis_mod._pallas_spikes
+
+    def spy(dev, g, s_min, threshold, depth, interpret):
+        dispatch_depths.append(depth)
+        return real_dispatch(dev, g, s_min, threshold, depth, interpret)
+
+    monkeypatch.setattr(oasis_mod, "_MERGE_BUDGET", 2)
+    monkeypatch.setattr(oasis_mod, "_pallas_spikes", spy)
+    out = oasis_mod.deconvolve_signals_host(y)
+    np.testing.assert_array_equal(out, exact)
+    assert dispatch_depths == [oasis_mod._DEPTH_LADDER[0]]
 
 
 def test_deconvolve_signals_host_reroutes_long_traces(rng, monkeypatch):
