@@ -33,7 +33,8 @@ def main(n_traces=16384, T=2048, reps=5):
         def run(y, eps, depth=depth):
             _, s, redo = oasis_ar1_pallas(y + eps, g=0.95, lam=0.0,
                                           s_min=0.55, depth=depth)
-            return (s > 0.5).astype(jnp.int8).sum(), redo.sum()
+            # redo is a cause bitmask: count flagged LANES, not bit values
+            return (s > 0.5).astype(jnp.int8).sum(), (redo != 0).sum()
 
         t0 = time.perf_counter()
         _, flags = run(dev, jnp.float32(0))
