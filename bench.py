@@ -252,9 +252,8 @@ def _probe_device(retries: int = 6, wait_s: int = 120) -> bool:
 
     # decide WITHOUT initializing the backend: jax.default_backend() itself
     # hangs during a tunnel outage (plugin discovery contacts the device)
-    plat = str(getattr(jax.config, "jax_platforms", None) or
-               os.environ.get("JAX_PLATFORMS") or "")
-    if plat == "cpu":
+    from calciumgan_tpu.utils.backend_probe import configured_platforms
+    if configured_platforms() == "cpu":
         return True
     code = ("import jax, jax.numpy as jnp;"
             "x = jnp.ones((128, 128));"

@@ -82,23 +82,36 @@ def ifft_signals(signals: np.ndarray) -> np.ndarray:
     return np.ascontiguousarray(np.moveaxis(out, 2, 1)).astype(np.float32)
 
 
+def window_starts(T: int, sequence_length: int, stride: int) -> np.ndarray:
+    """Window start offsets over a T-frame recording.
+
+    THE single definition of the reference's strict bound ``i + seq < T``
+    (a window ending exactly at T is excluded —
+    ``generate_tfrecords.py:83``); both :func:`segment_recording` and the
+    chunk-streaming :func:`preprocess` gather through it so the bound
+    cannot drift between them.
+    """
+    assert stride >= 1
+    return np.arange(0, max(T - sequence_length, 0), stride)
+
+
 def segment_recording(raw_signals: np.ndarray, raw_spikes: np.ndarray,
                       sequence_length: int, stride: int
                       ) -> Tuple[np.ndarray, np.ndarray]:
     """Sliding windows over a (time, neurons) recording.
 
-    Keeps the reference's strict bound ``i + seq < T`` (a window ending
-    exactly at T is excluded — ``generate_tfrecords.py:83``).
+    Small-array reference implementation of the windowing contract (the
+    streaming :func:`preprocess` produces identical segments through the
+    shared :func:`window_starts`; asserted by
+    ``tests/test_data.py::test_preprocess_matches_segment_recording``).
     """
-    assert stride >= 1
     # callers hand in a time-major VIEW of neuron-major data; a fancy-index
     # gather through that stride pattern touches one cache line per element
     # (measured 353 s for sl2048/stride-4 over a 20k x 48 recording vs ~2 s
     # contiguous), so copy contiguously first — the raw recording is small
     raw_signals = np.ascontiguousarray(raw_signals, dtype=np.float32)
     raw_spikes = np.ascontiguousarray(raw_spikes, dtype=np.float32)
-    T = raw_signals.shape[0]
-    starts = np.arange(0, max(T - sequence_length, 0), stride)
+    starts = window_starts(raw_signals.shape[0], sequence_length, stride)
     # vectorised gather instead of a python append loop
     idx = starts[:, None] + np.arange(sequence_length)[None, :]
     return raw_signals[idx], raw_spikes[idx]
@@ -148,7 +161,7 @@ def preprocess(data: dict, sequence_length: int, stride: int,
     rp = np.ascontiguousarray(np.swapaxes(raw_spikes, 0, 1))
     T, C = rs.shape
     sl = sequence_length
-    starts = np.arange(0, max(T - sl, 0), stride)  # strict < bound
+    starts = window_starts(T, sl, stride)
     N = len(starts)
 
     meta = {"num_neurons": C}

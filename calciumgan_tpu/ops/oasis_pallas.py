@@ -297,15 +297,21 @@ def oasis_ar1_pallas_long(signals: jnp.ndarray, g: float = 0.95,
     yyT = yy.T  # (Tp, Bp)
 
     # grid: lane blocks outer, 2*C time sweeps inner (forward then backward;
-    # the kernel predicates on program_id(1)); chunk j is visited at grid
-    # steps j and 2C-1-j
-    tmap = lambda b, i: (jnp.minimum(i, 2 * C - 1 - i), b)
+    # the kernel predicates on program_id(1)). Pallas only DMAs a block when
+    # its index CHANGES between grid steps, so each ref pins its index
+    # through the phase that never touches it: the input walks chunks
+    # 0..C-1 forward then stays at C-1 (the backward replay reads only
+    # scratch — re-fetching input blocks would double input HBM traffic),
+    # and the c output stays at C-1 through the forward phase (nothing
+    # writes c yet) then walks C-1..0 with the backward replay.
+    in_map = lambda b, i: (jnp.minimum(i, C - 1), b)
+    out_map = lambda b, i: (jnp.minimum(2 * C - 1 - i, C - 1), b)
     cT, redo = pl.pallas_call(
         _oasis_kernel_long(Tc, C, T, D, g, s_min, merge_attempts),
         grid=(Bp // _LANES, 2 * C),
-        in_specs=[pl.BlockSpec((Tc, _LANES), tmap,
+        in_specs=[pl.BlockSpec((Tc, _LANES), in_map,
                                memory_space=pltpu.VMEM)],
-        out_specs=(pl.BlockSpec((Tc, _LANES), tmap,
+        out_specs=(pl.BlockSpec((Tc, _LANES), out_map,
                                 memory_space=pltpu.VMEM),
                    pl.BlockSpec((1, _LANES), lambda b, i: (0, b),
                                 memory_space=pltpu.VMEM)),

@@ -31,12 +31,11 @@ def main(config, with_covariance: bool = False,
     info = io.load_generated_info(config)
 
     epochs = sorted(info.keys())
-    if not config.all_epochs:
-        epochs = [epochs[-1]]  # only the last generated file by default
 
     # epochs whose h5 file is gone (deleted / moved run dir) can't be
-    # evaluated — drop them up front so the metric loop never opens a
-    # missing file, and fail loudly when nothing remains
+    # evaluated — drop them BEFORE the default last-epoch slice so a
+    # missing newest file falls back to the newest evaluable one, and
+    # fail loudly when nothing remains
     missing = [e for e in epochs if not os.path.exists(info[e]["filename"])]
     if missing:
         for e in missing:
@@ -47,6 +46,8 @@ def main(config, with_covariance: bool = False,
         raise FileNotFoundError(
             f"no generated epoch files found under {config.output_dir} — "
             "was the run trained with --save_generated?")
+    if not config.all_epochs:
+        epochs = [epochs[-1]]  # only the last generated file by default
 
     # clamp to the SHORTEST file in play: a crash-interrupted re-validation
     # (or a multi-host chief holding a floor+1 validation shard) can leave

@@ -90,6 +90,20 @@ def test_segment_recording_matches_reference_loop(rng):
     np.testing.assert_array_equal(got_k, np.array(exp_k))
 
 
+def test_preprocess_matches_segment_recording(rng):
+    """The chunk-streaming preprocess and the small-array reference
+    implementation gather through the shared window_starts — identical
+    segments, so neither copy of the windowing can drift."""
+    raw = rng.random((5, 301)).astype(np.float32)  # neuron-major
+    spk = (raw > 0.5).astype(np.float32)
+    sl, stride = 40, 9
+    got_s, got_k, _ = segments.preprocess(
+        {"signals": raw, "oasis": spk}, sl, stride, is_dg_data=True)
+    exp_s, exp_k = segments.segment_recording(raw.T, spk.T, sl, stride)
+    np.testing.assert_array_equal(got_s, exp_s)
+    np.testing.assert_array_equal(got_k, exp_k)
+
+
 def test_fft_roundtrip(rng):
     x = rng.random((4, 16, 3)).astype(np.float32)
     spec = segments.fft_signals(x)
