@@ -194,6 +194,21 @@ _ESCALATE_FRAC = 0.10
 # do NOT trigger the depth ladder (deeper stacks add no merge attempts).
 _MERGE_BUDGET = 2
 
+# relative width of the kernel's borderline-decision band (see
+# oasis_pallas._stack_machine): a merge decision whose f32 margin falls
+# inside flag_tol*(1+|rhs|) may flip against the f64 exact host kernel,
+# toggling a spike of amplitude ≈ s_min. Calibrated 10x above the largest
+# f32 margin error measured over 257k replayed decisions (2.8e-6); flags
+# ~2.4% of lanes on bench-style spiky data (~400/16384 — each an exact
+# host redo, ~30 ms/chunk on one core). Only consequential when s_min
+# clears the binarisation threshold — otherwise both decisions threshold
+# identically and clean-data exact-equality splits must not mass-flag.
+_BORDERLINE_TOL = 1e-5
+
+
+def _flag_tol(s_min: float, threshold: float) -> float:
+    return _BORDERLINE_TOL if s_min + 1e-4 >= threshold else 0.0
+
 # Longest trace the whole-trace Pallas kernel can hold: each grid step
 # keeps THREE (T, 128) float32 VMEM windows (fluorescence in, c and s out),
 # and Mosaic double-buffers blocks across grid steps, so the footprint is
@@ -258,7 +273,8 @@ def deconvolve_signals_host(signals, g: float = 0.95, s_min: float = 0.55,
                                                   d, interpret)
         flags = np.asarray(jax.device_get(redo_dev))
         # escalate only on DEPTH flags (bit 0): a deeper rung cannot help a
-        # lane whose merge budget was exhausted (bit 1) — those go straight
+        # lane whose merge budget was exhausted (bit 1) or whose merge
+        # decision was numerically borderline (bit 2) — those go straight
         # to the exact host redo below
         depth_frac = float(((flags & 1) != 0).mean())
         if depth_frac <= _ESCALATE_FRAC or i == len(ladder) - 1:
@@ -283,7 +299,8 @@ def _pallas_spikes(y, g, s_min, threshold, depth, interpret):
     from calciumgan_tpu.ops.oasis_pallas import oasis_ar1_pallas
     _, s, redo = oasis_ar1_pallas(y, g=g, lam=0.0, s_min=s_min,
                                   depth=depth, interpret=interpret,
-                                  merge_attempts=_MERGE_BUDGET)
+                                  merge_attempts=_MERGE_BUDGET,
+                                  flag_tol=_flag_tol(s_min, threshold))
     return (s > threshold).astype(jnp.int8), redo
 
 
@@ -296,7 +313,8 @@ def _pallas_spikes_long(y, g, s_min, threshold, depth, chunk, interpret):
     _, s, redo = oasis_ar1_pallas_long(y, g=g, lam=0.0, s_min=s_min,
                                        depth=depth, chunk=chunk,
                                        interpret=interpret,
-                                       merge_attempts=_MERGE_BUDGET)
+                                       merge_attempts=_MERGE_BUDGET,
+                                       flag_tol=_flag_tol(s_min, threshold))
     return (s > threshold).astype(jnp.int8), redo
 
 

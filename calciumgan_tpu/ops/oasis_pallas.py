@@ -64,7 +64,7 @@ def default_depth(T: int) -> int:
 
 
 def _stack_machine(yy_ref, c_ref, vs_ref, ws_ref, ls_ref, D: int, g: float,
-                   s_min: float, K: int):
+                   s_min: float, K: int, flag_tol: float = 0.0):
     """Shared pool-stack machinery for both kernel variants.
 
     The whole-trace and time-chunked kernels run the SAME numerics-critical
@@ -79,7 +79,9 @@ def _stack_machine(yy_ref, c_ref, vs_ref, ws_ref, ls_ref, D: int, g: float,
       vector work, no scalar syncs), failure flags ORed into the ``redo``
       BITMASK: bit 0 = pool-stack overflow (``n > D`` — a deeper re-dispatch
       can fix it), bit 1 = merge budget exhausted (a violation survived the
-      ``K`` attempts — only an exact recompute fixes it). The driver
+      ``K`` attempts — only an exact recompute fixes it), bit 2 = a merge
+      decision was numerically borderline (within the kernel's f32 error
+      band — the f64 host kernel may decide it the other way). The driver
       escalates the depth ladder on bit 0 alone and host-redoes any nonzero
       lane (``ops.oasis.deconvolve_signals_host``).
     - ``finalize_pools()``: one (D, 128) pass converting the v-stack to
@@ -96,17 +98,42 @@ def _stack_machine(yy_ref, c_ref, vs_ref, ws_ref, ls_ref, D: int, g: float,
     log_g = math.log(g)
 
     def violation(n):
-        # top pool (row 0) vs its left neighbour (row 1); int32 mask —
+        # top pool (row 0) vs its left neighbour (row 1); int32 masks —
         # Mosaic mishandles (1, 128) i1 vectors in loop carries
         v0, w0 = vs_ref[0:1, :], ws_ref[0:1, :]
         v1, w1 = vs_ref[1:2, :], ws_ref[1:2, :]
         l1 = ls_ref[1:2, :]
         gl = jnp.exp(l1 * log_g)
-        viol = (n >= 2) & (v0 / w0 < gl * (v1 / w1) + s_min)
-        return viol.astype(jnp.int32)
+        lhs = v0 / w0
+        rhs = gl * (v1 / w1) + s_min
+        active = n >= 2
+        viol = active & (lhs < rhs)
+        if flag_tol > 0.0:
+            # borderline: the margin sits inside the kernel's f32 error
+            # band, so the f64 exact host kernel can decide the merge the
+            # OTHER way — measured: one flip per ~4e7 decisions at margin
+            # 6e-7 (tools/debug_long_mismatch.py). Flag the lane for the
+            # exact host redo instead of claiming a parity the arithmetic
+            # can't give. Band calibration (f32-replay vs f64 over 257k
+            # decisions on bench-style data): max margin error 2.8e-6 at
+            # pool length 121, i.e. ≤0.095x this band — 10x safety. A
+            # pool-length-scaled band was tried and rejected: decisions
+            # happen at mean pool length ~72, so it is no tighter in
+            # practice and its extra ls_ref read cost 12% kernel time
+            # (flat band: 0.4%). Off (tol 0) unless a flip is
+            # consequential: only when s_min clears the dispatcher's spike
+            # threshold does a flipped decision toggle a thresholded spike
+            # (split-pool amplitude ≈ s_min + margin; exact-equality
+            # splits in clean s_min=0 data are harmless and must not
+            # mass-flag).
+            bord = active & (jnp.abs(lhs - rhs)
+                             < flag_tol * (1.0 + jnp.abs(rhs)))
+        else:
+            bord = jnp.zeros_like(viol)
+        return viol.astype(jnp.int32), bord.astype(jnp.int32)
 
     def masked_merge(n):
-        violi = violation(n)
+        violi, bord = violation(n)
         viol = violi > 0
         v0, w0, l0 = vs_ref[0:1, :], ws_ref[0:1, :], ls_ref[0:1, :]
         v1, w1, l1 = vs_ref[1:2, :], ws_ref[1:2, :], ls_ref[1:2, :]
@@ -124,7 +151,7 @@ def _stack_machine(yy_ref, c_ref, vs_ref, ws_ref, ls_ref, D: int, g: float,
         vs_ref[0:1, :] = jnp.where(viol, mv, v0)
         ws_ref[0:1, :] = jnp.where(viol, mw, w0)
         ls_ref[0:1, :] = jnp.where(viol, ml, l0)
-        return n - violi
+        return n - violi, bord
 
     def init_stacks():
         vs_ref[:] = jnp.zeros((D, _LANES), jnp.float32)
@@ -144,9 +171,14 @@ def _stack_machine(yy_ref, c_ref, vs_ref, ws_ref, ls_ref, D: int, g: float,
         redo = redo | (n > D).astype(jnp.int32)
         # fixed merge budget: pure vector work, no scalar syncs
         for _ in range(K):
-            n = masked_merge(n)
+            n, bord = masked_merge(n)
+            if flag_tol > 0.0:
+                redo = redo | (bord * 4)
         # lanes still violating could not resolve in K attempts: flag
-        redo = redo | (violation(n) * 2)
+        viol, bord = violation(n)
+        redo = redo | (viol * 2)
+        if flag_tol > 0.0:
+            redo = redo | (bord * 4)
         return n, redo
 
     def finalize_pools():
@@ -167,11 +199,12 @@ def _stack_machine(yy_ref, c_ref, vs_ref, ws_ref, ls_ref, D: int, g: float,
     return init_stacks, push, finalize_pools, recon_step
 
 
-def _oasis_kernel(T: int, D: int, g: float, s_min: float, K: int):
+def _oasis_kernel(T: int, D: int, g: float, s_min: float, K: int,
+                  flag_tol: float):
     def kernel(yy_ref, c_ref, s_ref, redo_ref, vs_ref, ws_ref, ls_ref,
                n_ref):
         init_stacks, push, finalize_pools, recon_step = _stack_machine(
-            yy_ref, c_ref, vs_ref, ws_ref, ls_ref, D, g, s_min, K)
+            yy_ref, c_ref, vs_ref, ws_ref, ls_ref, D, g, s_min, K, flag_tol)
         init_stacks()
 
         # seed loop carries from memory, not splat constants: Mosaic gives
@@ -204,7 +237,7 @@ def _oasis_kernel(T: int, D: int, g: float, s_min: float, K: int):
 
 
 def _oasis_kernel_long(Tc: int, C: int, T: int, D: int, g: float,
-                       s_min: float, K: int):
+                       s_min: float, K: int, flag_tol: float):
     """Time-chunked variant: a (lane_block, 2*C) grid walks each lane
     block's chunks FORWARD (grid steps 0..C-1: pool pushes/merges, stacks
     carried in scratch) then BACKWARD (steps C..2C-1: fused reconstruction
@@ -218,7 +251,7 @@ def _oasis_kernel_long(Tc: int, C: int, T: int, D: int, g: float,
                rem_ref):
         i = pl.program_id(1)
         init_stacks, push, finalize_pools, recon_step = _stack_machine(
-            yy_ref, c_ref, vs_ref, ws_ref, ls_ref, D, g, s_min, K)
+            yy_ref, c_ref, vs_ref, ws_ref, ls_ref, D, g, s_min, K, flag_tol)
 
         @pl.when(i == 0)
         def _init():
@@ -258,11 +291,12 @@ def _oasis_kernel_long(Tc: int, C: int, T: int, D: int, g: float,
 @functools.partial(
     jax.jit,
     static_argnames=("g", "lam", "s_min", "depth", "merge_attempts",
-                     "chunk", "interpret"))
+                     "chunk", "interpret", "flag_tol"))
 def oasis_ar1_pallas_long(signals: jnp.ndarray, g: float = 0.95,
                           lam: float = 0.0, s_min: float = 0.0,
                           depth: int = 512, merge_attempts: int = 4,
-                          chunk: int = 2048, interpret: bool = False):
+                          chunk: int = 2048, interpret: bool = False,
+                          flag_tol: float = 0.0):
     """OASIS AR(1) for traces LONGER than the whole-trace kernel's VMEM cap
     (``ops.oasis._PALLAS_MAX_T``), e.g. the 20k-frame recordings
     ``dataset/spike_train_inference.py`` deconvolves (reference hot loop:
@@ -307,7 +341,8 @@ def oasis_ar1_pallas_long(signals: jnp.ndarray, g: float = 0.95,
     in_map = lambda b, i: (jnp.minimum(i, C - 1), b)
     out_map = lambda b, i: (jnp.minimum(2 * C - 1 - i, C - 1), b)
     cT, redo = pl.pallas_call(
-        _oasis_kernel_long(Tc, C, T, D, g, s_min, merge_attempts),
+        _oasis_kernel_long(Tc, C, T, D, g, s_min, merge_attempts,
+                           flag_tol),
         grid=(Bp // _LANES, 2 * C),
         in_specs=[pl.BlockSpec((Tc, _LANES), in_map,
                                memory_space=pltpu.VMEM)],
@@ -341,10 +376,11 @@ def oasis_ar1_pallas_long(signals: jnp.ndarray, g: float = 0.95,
 @functools.partial(
     jax.jit,
     static_argnames=("g", "lam", "s_min", "depth", "merge_attempts",
-                     "interpret"))
+                     "interpret", "flag_tol"))
 def oasis_ar1_pallas(signals: jnp.ndarray, g: float = 0.95, lam: float = 0.0,
                      s_min: float = 0.0, depth: int | None = None,
-                     merge_attempts: int = 4, interpret: bool = False):
+                     merge_attempts: int = 4, interpret: bool = False,
+                     flag_tol: float = 0.0):
     """Batched OASIS AR(1) on TPU via Pallas.
 
     Args:
@@ -382,7 +418,7 @@ def oasis_ar1_pallas(signals: jnp.ndarray, g: float = 0.95, lam: float = 0.0,
     blk = lambda r: pl.BlockSpec((r, _LANES), lambda i: (0, i),
                                  memory_space=pltpu.VMEM)
     cT, sT, redo = pl.pallas_call(
-        _oasis_kernel(T, D, g, s_min, merge_attempts),
+        _oasis_kernel(T, D, g, s_min, merge_attempts, flag_tol),
         grid=grid,
         in_specs=[blk(T)],
         out_specs=(blk(T), blk(T), blk(1)),

@@ -79,6 +79,30 @@ def test_redo_flag_on_merge_budget():
         assert np.asarray(redo1).any()
 
 
+def test_borderline_flag():
+    # a merge decision whose f32 margin sits inside the kernel's error band
+    # (|lhs - rhs| < flag_tol*(1+|rhs|)) must set redo bit 2 so the dispatch
+    # host-redoes the lane in f64 — the f32 kernel cannot decide it reliably
+    # (observed hardware flip at margin 6e-7, tools/debug_long_mismatch.py)
+    g, s_min = 0.95, 0.55
+    a = 2.0
+    y = np.zeros((1, 64), np.float32)
+    y[0, 0] = a
+    y[0, 1] = g * a + s_min + 1e-7  # margin 1e-7 vs band ~2.5e-5
+    _, _, redo = oasis_ar1_pallas(y, g=g, s_min=s_min, flag_tol=1e-5,
+                                  interpret=True)
+    assert int(np.asarray(redo)[0]) & 4
+    # the band is opt-in: the raw kernel (flag_tol=0) must not flag
+    _, _, redo0 = oasis_ar1_pallas(y, g=g, s_min=s_min, interpret=True)
+    assert not int(np.asarray(redo0)[0]) & 4
+    # a decision comfortably outside the band must not flag
+    y2 = y.copy()
+    y2[0, 1] = g * a + s_min + 0.2
+    _, _, redo2 = oasis_ar1_pallas(y2, g=g, s_min=s_min, flag_tol=1e-5,
+                                   interpret=True)
+    assert not int(np.asarray(redo2)[0]) & 4
+
+
 @pytest.mark.parametrize("s_min,lam", [(0.55, 0.0), (0.0, 0.0), (0.0, 1.0)])
 def test_long_kernel_matches_numpy_golden(rng, s_min, lam):
     # T spans several chunks including a PARTIAL final one (300 = 4*64 + 44)
