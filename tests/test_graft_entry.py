@@ -52,3 +52,14 @@ def test_dryrun_parent_never_initializes_backend(tmp_path):
                           capture_output=True, text=True, timeout=660)
     assert proc.returncode == 0, proc.stderr[-4000:]
     assert "dryrun_multichip ok" in proc.stdout, proc.stdout
+
+
+def test_bench_oasis_smoke():
+    """bench.py is the other driver contract: a broken import or call path
+    zeroes the round's captured BENCH record. Smoke the OASIS benchmark on
+    tiny shapes (CPU backend branch) and the derived baseline band."""
+    import bench
+    tps = bench.bench_oasis(T=64, n_traces=8)
+    assert tps > 0
+    lo, hi = bench._reference_band(11.08)
+    assert 0 < lo < hi < 10
