@@ -169,16 +169,20 @@ def deconvolve_signals(signals: jnp.ndarray, g: float = 0.95,
 
 
 # Eval-path stack-depth ladder: the kernel's per-timestep VMEM roll traffic
-# scales with the stack cap, so depth 96 runs ~15-20% faster than the
-# in-graph default 128 and still covers every measured spiky-calcium
-# workload (worst case ~54 pools at the production s_min=0.55 — see
-# oasis_pallas module doc). Atypically dense data (e.g. >=5% spikes/frame)
-# legitimately needs deeper stacks; when more than ``_ESCALATE_FRAC`` of a
-# chunk's lanes carry a DEPTH flag (redo bit 0), re-dispatching the whole
-# chunk one rung deeper beats the host redo path (one 16k-trace dispatch
-# ~ 0.13 s ~ recomputing ~1.7k traces on the C++ host kernel at
-# 13.6k traces/s/core).
-_DEPTH_LADDER = (96, 160, 256)
+# scales with the stack cap, so each step down the ladder is ~linear
+# throughput. First rung 64 covers spiky-calcium sl2048 workloads with zero
+# flags (measured per-trace max pool depth on 512 bench traces: mean 42.7,
+# p99 57, max 64 — and DG-like calcium ~54; round-4 study), 33% less roll
+# traffic than round-3's 96 rung. Atypically dense data (e.g. >=5%
+# spikes/frame, demand ~123 at sl2048) legitimately needs deeper stacks;
+# when more than ``_ESCALATE_FRAC`` of a chunk's lanes carry a DEPTH flag
+# (redo bit 0), re-dispatching the whole chunk one rung deeper beats the
+# host redo path (one 16k-trace dispatch ~ 0.13 s ~ recomputing ~1.7k
+# traces on the C++ host kernel at 13.6k traces/s/core). The rung after 64
+# jumps straight to 160: demand between 64 and 96 is rare on every
+# measured family (spiky <=64, dense ~123), so an intermediate 96 rung
+# would only add a compile shape and a wasted dispatch on escalating data.
+_DEPTH_LADDER = (64, 160, 256)
 _ESCALATE_FRAC = 0.10
 
 # Eval-path per-timestep merge budget: the kernel's default is 4 (covers
@@ -220,8 +224,22 @@ def _flag_tol(s_min: float, threshold: float) -> float:
 # grid steps, so T is unbounded. Its stack ladder is deeper because the
 # final pool count grows with T (~ the spike count).
 _PALLAS_MAX_T = 4096
-_LONG_DEPTH_LADDER = (256, 512, 1024)
 _LONG_CHUNK = 2048
+
+
+def _long_ladder(T: int) -> tuple:
+    """Depth ladder for whole-recording traces, scaled to T.
+
+    The final pool count grows with T (~ the spike count: measured mean
+    403 / max 439 on 20k-frame 2%-rate traces), so a static first rung
+    either always overflows (256 at 20k frames — every call paid a wasted
+    dispatch before escalating) or wastes roll traffic on short traces.
+    First rung ~2.75% of T (64-row aligned, floored at 256) fits the
+    measured demand with ~25% headroom; deeper rungs double it.
+    """
+    r1 = max(256, -(-int(0.0275 * T) // 64) * 64)
+    return tuple(dict.fromkeys(
+        min(T, d) for d in (r1, 2 * r1, max(4 * r1, 1024))))
 
 
 def deconvolve_signals_host(signals, g: float = 0.95, s_min: float = 0.55,
@@ -236,9 +254,10 @@ def deconvolve_signals_host(signals, g: float = 0.95, s_min: float = 0.55,
     a host int8 array — 4x less tunnel/host traffic than float32.
 
     With ``depth=None`` the dispatch walks ``_DEPTH_LADDER`` (or the deeper
-    ``_LONG_DEPTH_LADDER`` through the time-chunked kernel when the traces
-    exceed ``_PALLAS_MAX_T`` — whole recordings stay on device instead of
-    falling back to the host kernel): shallow first for speed, escalating
+    T-scaled ``_long_ladder`` through the time-chunked kernel when the
+    traces exceed ``_PALLAS_MAX_T`` — whole recordings stay on device
+    instead of falling back to the host kernel): shallow first for speed,
+    escalating
     the whole chunk on device while a large fraction of lanes flags. An
     explicit ``depth`` pins a single dispatch.
 
@@ -260,7 +279,7 @@ def deconvolve_signals_host(signals, g: float = 0.95, s_min: float = 0.55,
     if depth is not None:
         ladder = (depth,)
     elif long_kernel:
-        ladder = tuple(dict.fromkeys(min(T, d) for d in _LONG_DEPTH_LADDER))
+        ladder = _long_ladder(T)
     else:  # clamp to T and dedupe so short traces run one rung, not three
         ladder = tuple(dict.fromkeys(min(T, d) for d in _DEPTH_LADDER))
     dev = jax.device_put(signals)  # upload once; ladder retries reuse it
