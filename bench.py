@@ -183,14 +183,14 @@ def bench_oasis_dense(T: int = 2048, n_traces: int = 16384,
                       rate: float = 0.06):
     """Deconvolution throughput on DENSE data (>=5% spikes/frame) through
     the FULL eval driver (``ops.oasis.deconvolve_signals_host``): at this
-    rate the depth-96 first rung overflows on most lanes, so this exercises
-    the on-device 96->160 ladder re-dispatch plus any residual host redo —
+    rate the shallow first rung overflows on most lanes, so this exercises
+    the on-device 64->160 ladder re-dispatch plus any residual host redo —
     the honest worst case next to :func:`bench_oasis`'s friendly-data
     number. Timed host-to-host (including the per-call device_put and the
     int8 gather), which is exactly what the eval pipeline pays per chunk.
 
     Returns ``(host_to_host, device_resident)`` traces/s. The second number
-    times ONLY the on-device ladder work (depth-96 dispatch + redo check +
+    times ONLY the on-device ladder work (first-rung dispatch + redo check +
     depth-160 re-dispatch, device-resident input, scalar sync) so the
     escalation cost is separable from the ~400 ms/8 MB tunnel upload that
     dominates the host-to-host figure here — and is directly comparable to
@@ -218,7 +218,7 @@ def bench_oasis_dense(T: int = 2048, n_traces: int = 16384,
     host_to_host = n_traces / float(np.median(times))
 
     # device-resident ladder: same two dispatches the driver runs on this
-    # data (96 overflows at 6% rate -> 160), minus the host upload/gather
+    # data (rung 64 overflows at 6% rate -> 160), minus the host upload/gather
     @jax.jit
     def run(y, eps):
         yy = y + eps
@@ -319,7 +319,7 @@ def main():
             round(dense_dev_traces_per_sec, 1)
             if dense_dev_traces_per_sec else None),
         "oasis_dense_note": "6% spike-rate traces through the full eval "
-                            "driver (depth-ladder 96->160 on-device "
+                            "driver (depth-ladder 64->160 on-device "
                             "re-dispatch + host redo), timed host-to-host "
                             "incl. upload; the _device_ variant times only "
                             "the on-device ladder (both dispatches, "
