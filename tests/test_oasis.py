@@ -237,3 +237,25 @@ def test_jax_matches_native_cpp(rng):
     ours = np.asarray(deconvolve_signals(sig))
     theirs = native.deconvolve_batch(sig)
     np.testing.assert_array_equal(ours, theirs)
+
+
+def test_long_ladder_scales_with_t():
+    from calciumgan_tpu.ops.oasis import _long_ladder
+    # measured pool demand ~403 (max 439) at 20k frames: the first rung
+    # must fit it in ONE dispatch (the old static 256 always overflowed)
+    ladder = _long_ladder(20000)
+    assert ladder[0] >= 440 and ladder[0] % 64 == 0
+    assert ladder == tuple(sorted(set(ladder)))  # ascending, deduped
+    # short long-traces keep the shallow floor
+    assert _long_ladder(4097)[0] == 256
+    # rungs never exceed T
+    assert all(d <= 5000 for d in _long_ladder(5000))
+
+
+def test_flag_tol_gate():
+    from calciumgan_tpu.ops.oasis import _flag_tol, _BORDERLINE_TOL
+    # borderline flips toggle a spike of amplitude ~s_min: only
+    # consequential when that clears the binarisation threshold
+    assert _flag_tol(0.55, 0.5) == _BORDERLINE_TOL
+    assert _flag_tol(0.5, 0.5) == _BORDERLINE_TOL
+    assert _flag_tol(0.0, 0.5) == 0.0
