@@ -234,10 +234,13 @@ def _long_ladder(T: int) -> tuple:
     403 / max 439 on 20k-frame 2%-rate traces), so a static first rung
     either always overflows (256 at 20k frames — every call paid a wasted
     dispatch before escalating) or wastes roll traffic on short traces.
-    First rung ~2.75% of T (64-row aligned, floored at 256) fits the
-    measured demand with ~25% headroom; deeper rungs double it.
+    First rung 2.3% of T (64-row aligned, floored at 256) lands on 512 at
+    20k frames — measured zero depth flags there (f32 demand can exceed
+    the f64 max 439 by a few lanes: 11/2048 flag at 448), and the
+    depth-cost curve is ~linear (hardware sweep 448..640: 10.7k -> 8.2k
+    traces/s), so the shallowest zero-flag rung wins. Deeper rungs double.
     """
-    r1 = max(256, -(-int(0.0275 * T) // 64) * 64)
+    r1 = max(256, -(-int(0.023 * T) // 64) * 64)
     return tuple(dict.fromkeys(
         min(T, d) for d in (r1, 2 * r1, max(4 * r1, 1024))))
 

@@ -130,14 +130,16 @@ def _stack_machine(yy_ref, c_ref, vs_ref, ws_ref, ls_ref, D: int, g: float,
                              < flag_tol * (1.0 + jnp.abs(rhs)))
         else:
             bord = jnp.zeros_like(viol)
-        return viol.astype(jnp.int32), bord.astype(jnp.int32)
+        return viol.astype(jnp.int32), bord.astype(jnp.int32), gl
 
     def masked_merge(n):
-        violi, bord = violation(n)
+        # reuse violation's exp(l1*log g): transcendentals are the
+        # depth-independent share of the per-timestep cost (the kernel
+        # runs 3 of them per step, not 5)
+        violi, bord, gl = violation(n)
         viol = violi > 0
         v0, w0, l0 = vs_ref[0:1, :], ws_ref[0:1, :], ls_ref[0:1, :]
         v1, w1, l1 = vs_ref[1:2, :], ws_ref[1:2, :], ls_ref[1:2, :]
-        gl = jnp.exp(l1 * log_g)
         mv = v1 + gl * v0
         mw = w1 + gl * gl * w0
         ml = l1 + l0
@@ -175,7 +177,7 @@ def _stack_machine(yy_ref, c_ref, vs_ref, ws_ref, ls_ref, D: int, g: float,
             if flag_tol > 0.0:
                 redo = redo | (bord * 4)
         # lanes still violating could not resolve in K attempts: flag
-        viol, bord = violation(n)
+        viol, bord, _ = violation(n)
         redo = redo | (viol * 2)
         if flag_tol > 0.0:
             redo = redo | (bord * 4)

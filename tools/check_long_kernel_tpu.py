@@ -37,7 +37,35 @@ def main(n: int = 2048, T: int = 20000) -> None:
         s2 = deconvolve_signals_host(y2)
         times.append(time.perf_counter() - t0)
     warm = n / float(np.median(times))
-    print(f"warm: {warm:.1f} traces/s (median of 3; {np.median(times):.2f}s)")
+    print(f"warm host-to-host: {warm:.1f} traces/s (median of 3; "
+          f"{np.median(times):.2f}s — on the tunnel this is dominated by "
+          f"the ~{n * T * 4 >> 20} MB upload at ~400 ms/8 MB)")
+
+    # device-resident dispatch: the kernel cost users pay when traces are
+    # already on the mesh (and what a production PCIe host approaches)
+    import jax.numpy as jnp
+    from calciumgan_tpu.ops.oasis import (_MERGE_BUDGET, _LONG_CHUNK,
+                                          _flag_tol, _long_ladder)
+    from calciumgan_tpu.ops.oasis_pallas import oasis_ar1_pallas_long
+
+    @jax.jit
+    def run(yd, eps):
+        _, s, redo = oasis_ar1_pallas_long(
+            yd + eps, g=0.95, lam=0.0, s_min=0.55, depth=_long_ladder(T)[0],
+            chunk=_LONG_CHUNK, merge_attempts=_MERGE_BUDGET,
+            flag_tol=_flag_tol(0.55, 0.5))
+        return (s > 0.5).astype(jnp.int8).sum() + redo.sum()
+
+    yd = jax.device_put(y)
+    float(run(yd, jnp.float32(0)))  # compile
+    times = []
+    for i in range(3):
+        t0 = time.perf_counter()
+        float(run(yd, jnp.float32(1e-6 * (i + 1))))
+        times.append(time.perf_counter() - t0)
+    dev = n / float(np.median(times))
+    print(f"device-resident first rung (depth {_long_ladder(T)[0]}): "
+          f"{dev:.1f} traces/s ({np.median(times):.3f}s)")
     s_ref = _exact_spikes_host(y, 0.95, 0.55, 0.5)
     mism = int((s_tpu != s_ref).sum())
     print(f"mismatched spikes: {mism} of {s_ref.size} ({int(s_ref.sum())} spikes)")
