@@ -197,7 +197,7 @@ def bench_oasis_dense(T: int = 2048, n_traces: int = 16384,
     :func:`bench_oasis`'s device-resident friendly-data number."""
     import jax.numpy as jnp
     from calciumgan_tpu.ops.oasis import (_DEPTH_LADDER, _MERGE_BUDGET,
-                                          deconvolve_signals_host)
+                                          _flag_tol, deconvolve_signals_host)
     from calciumgan_tpu.ops.oasis_pallas import oasis_ar1_pallas
     from calciumgan_tpu.ops.oasis_ref import synth_ar1_traces
 

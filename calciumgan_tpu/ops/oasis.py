@@ -140,6 +140,14 @@ def deconvolve_signals(signals: jnp.ndarray, g: float = 0.95,
     kernel flags as
     unreliable (stack overflow / unresolved merges — rare by construction)
     are transparently recomputed with the exact path under a ``lax.cond``.
+
+    Precision contract: this in-graph API is exact W.R.T. THE F32
+    ALGORITHM — its redo path re-runs the same arithmetic family on
+    device, so a merge decision whose f32 margin sits inside the
+    arithmetic error band (~1 per 4e7 decisions) can still differ from
+    the f64 host kernel. Callers that need f64-golden spike parity use
+    :func:`deconvolve_signals_host`, whose borderline-flagged lanes
+    (redo bit 2) are recomputed in f64 on the host.
     """
     T = signals.shape[-1]
     if backend == "auto":
@@ -239,10 +247,16 @@ def _long_ladder(T: int) -> tuple:
     the f64 max 439 by a few lanes: 11/2048 flag at 448), and the
     depth-cost curve is ~linear (hardware sweep 448..640: 10.7k -> 8.2k
     traces/s), so the shallowest zero-flag rung wins. Deeper rungs double.
+
+    Every rung is capped at 2048 rows (3 f32 stacks = 3 MB of the ~16 MB
+    VMEM budget, next to the double-buffered chunk windows): an hour-long
+    recording would otherwise scale the stacks past VMEM and fail to
+    COMPILE, where the algorithm only needs the cap to degrade gracefully
+    — lanes deeper than the deepest rung depth-flag and are host-redone.
     """
     r1 = max(256, -(-int(0.023 * T) // 64) * 64)
     return tuple(dict.fromkeys(
-        min(T, d) for d in (r1, 2 * r1, max(4 * r1, 1024))))
+        min(T, d, 2048) for d in (r1, 2 * r1, max(4 * r1, 1024))))
 
 
 def deconvolve_signals_host(signals, g: float = 0.95, s_min: float = 0.55,

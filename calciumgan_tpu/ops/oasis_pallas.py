@@ -398,8 +398,13 @@ def oasis_ar1_pallas(signals: jnp.ndarray, g: float = 0.95, lam: float = 0.0,
         an int32 flag BITMASK per trace (batch shape) marking traces whose
         result is unreliable and must be recomputed with the exact path:
         bit 0 = pool-stack overflow (a deeper ``depth`` would fix it),
-        bit 1 = merge budget exhausted (only an exact recompute fixes it);
-        0 = trustworthy.
+        bit 1 = merge budget exhausted (only an exact recompute fixes it),
+        bit 2 = a merge decision was numerically borderline (only set when
+        ``flag_tol`` > 0 — the f64 host kernel may decide it the other
+        way, so callers wanting f64 parity must recompute these too);
+        0 = trustworthy within the f32 arithmetic. ``flag_tol`` is the
+        relative borderline band width (0 disables; the production
+        dispatch passes ``ops.oasis._flag_tol(s_min, threshold)``).
     """
     signals = jnp.asarray(signals, jnp.float32)
     batch_shape = signals.shape[:-1]

@@ -250,6 +250,10 @@ def test_long_ladder_scales_with_t():
     assert _long_ladder(4097)[0] == 256
     # rungs never exceed T
     assert all(d <= 5000 for d in _long_ladder(5000))
+    # VMEM safety: rungs cap at 2048 rows (3 MB of stacks) no matter how
+    # long the recording — deeper demand depth-flags to the host redo
+    # instead of failing to compile
+    assert _long_ladder(400000) == (2048,)
 
 
 def test_flag_tol_gate():

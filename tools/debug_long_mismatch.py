@@ -28,7 +28,8 @@ def main(n: int = 2048, T: int = 20000) -> None:
               f"flags there {redo[mism].tolist()}, "
               f"total flagged {int((redo != 0).sum())} "
               f"(bits: depth={int(((redo & 1) != 0).sum())}, "
-              f"merge={int(((redo & 2) != 0).sum())})")
+              f"merge={int(((redo & 2) != 0).sum())}, "
+              f"borderline={int(((redo & 4) != 0).sum())})")
         for lane in mism[:4]:
             tm = np.nonzero(s[lane] != s_ref[lane])[0]
             print(f"  lane {lane} (flag {redo[lane]}): mismatch at t={tm.tolist()}"
