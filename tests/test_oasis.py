@@ -263,3 +263,28 @@ def test_flag_tol_gate():
     assert _flag_tol(0.55, 0.5) == _BORDERLINE_TOL
     assert _flag_tol(0.5, 0.5) == _BORDERLINE_TOL
     assert _flag_tol(0.0, 0.5) == 0.0
+
+
+def test_deconvolve_signals_host_fuzz_matches_f64_golden():
+    """Seeded fuzz: the full dispatch (ladder + flags + host redo) must
+    match the f64 exact kernel across data characters — rates from sparse
+    to dense, noise levels, amplitude scales. One fixed shape so interpret
+    mode compiles once; the data varies."""
+    from calciumgan_tpu.ops.oasis import (deconvolve_signals_host,
+                                          _exact_spikes_host)
+    rng = np.random.default_rng(2024)
+    for case in range(8):
+        rate = float(rng.uniform(0.005, 0.12))
+        sn = float(rng.uniform(0.05, 0.6))
+        scale = float(rng.uniform(0.3, 8.0))
+        spikes = (rng.random((12, 160)) < rate).astype(np.float64)
+        c = np.zeros_like(spikes)
+        for t in range(1, 160):
+            c[:, t] = spikes[:, t] + 0.95 * c[:, t - 1]
+        c[:, 0] = spikes[:, 0]
+        y = (scale * (c + sn * rng.standard_normal(c.shape))).astype(np.float32)
+        got = deconvolve_signals_host(y)
+        exp = _exact_spikes_host(y, 0.95, 0.55, 0.5)
+        np.testing.assert_array_equal(
+            got, exp, err_msg=f"case {case}: rate={rate:.3f} sn={sn:.2f} "
+                              f"scale={scale:.2f}")
