@@ -212,14 +212,25 @@ _MERGE_BUDGET = 2
 # toggling a spike of amplitude ≈ s_min. Calibrated 10x above the largest
 # f32 margin error measured over 257k replayed decisions (2.8e-6); flags
 # ~2.4% of lanes on bench-style spiky data (~400/16384 — each an exact
-# host redo, ~30 ms/chunk on one core). Only consequential when s_min
-# clears the binarisation threshold — otherwise both decisions threshold
-# identically and clean-data exact-equality splits must not mass-flag.
+# host redo, ~30 ms/chunk on one core).
 _BORDERLINE_TOL = 1e-5
 
 
 def _flag_tol(s_min: float, threshold: float) -> float:
-    return _BORDERLINE_TOL if s_min + 1e-4 >= threshold else 0.0
+    """Borderline band width for a (s_min, threshold) pair.
+
+    Any ``s_min > 0`` makes a flipped merge decision consequential: the
+    boundary spike itself has amplitude ≈ s_min + margin (thresholdable
+    when s_min >= threshold), and even when it isn't, merging shifts both
+    pools' heights by O(s_min), which can move a NEIGHBOURING boundary
+    spike across the binarisation threshold. Only at ``s_min == 0`` is a
+    flipped decision provably harmless — an exact-equality split there
+    reconstructs the identical trace (merged height equals both pool
+    heights), and clean synthetic data hits exact equality often enough
+    that a band would mass-flag — so the band is off only there.
+    """
+    del threshold
+    return _BORDERLINE_TOL if s_min > 0.0 else 0.0
 
 # Longest trace the whole-trace Pallas kernel can hold: each grid step
 # keeps THREE (T, 128) float32 VMEM windows (fluorescence in, c and s out),
@@ -355,18 +366,35 @@ def _pallas_spikes_long(y, g, s_min, threshold, depth, chunk, interpret):
 
 
 def _exact_spikes_host(traces, g, s_min, threshold):
-    """Exact spikes for a handful of flagged traces. Prefers the C++ OpenMP
-    kernel (~13.6k traces/s/core, wall-clock ~ traces/rate) over the XLA
-    while_loop machine, whose wall-clock is ~O(T) regardless of how few
-    traces ride it (each merge/push event is a separate device step)."""
+    """Exact f64 spikes for a handful of flagged traces. Prefers the C++
+    OpenMP kernel (f64 accumulation; ~13.6k traces/s/core at sl2048) over
+    the numpy golden model (same f64 arithmetic, ~100x slower Python pool
+    loop). Both are float64: a borderline-flagged lane (redo bit 2) was
+    flagged precisely because f32 cannot decide it, so the redo must leave
+    the f32 arithmetic family — falling back to the f32 while_loop machine
+    here would silently void the parity guarantee (round-4 ADVICE)."""
     import numpy as np
     from calciumgan_tpu import native
+    from calciumgan_tpu.ops import oasis_ref
     out = native.deconvolve_batch(traces, g=g, s_min=s_min,
                                   threshold=threshold)
     if out is not None:
         return out.astype(np.int8)
-    _, s_w = oasis_ar1_jax(traces, g=g, lam=0.0, s_min=s_min)
-    return (np.asarray(jax.device_get(s_w)) > threshold).astype(np.int8)
+    global _WARNED_NATIVE_FALLBACK
+    if not _WARNED_NATIVE_FALLBACK:
+        _WARNED_NATIVE_FALLBACK = True
+        import warnings
+        warnings.warn(
+            "calciumgan_tpu native lib unavailable; exact OASIS redo is "
+            "using the numpy f64 golden model (correct but ~100x slower "
+            "than the C++ kernel)", RuntimeWarning, stacklevel=2)
+    traces = np.asarray(traces, np.float64)
+    return oasis_ref.deconvolve_signals_ref(
+        traces.reshape((-1, traces.shape[-1])), g=g, s_min=s_min,
+        threshold=threshold).astype(np.int8).reshape(traces.shape)
+
+
+_WARNED_NATIVE_FALLBACK = False
 
 
 def first_order_recurrence(a: jnp.ndarray, b: jnp.ndarray, axis: int = -1,

@@ -120,12 +120,12 @@ def _stack_machine(yy_ref, c_ref, vs_ref, ws_ref, ls_ref, D: int, g: float,
             # pool-length-scaled band was tried and rejected: decisions
             # happen at mean pool length ~72, so it is no tighter in
             # practice and its extra ls_ref read cost 12% kernel time
-            # (flat band: 0.4%). Off (tol 0) unless a flip is
-            # consequential: only when s_min clears the dispatcher's spike
-            # threshold does a flipped decision toggle a thresholded spike
-            # (split-pool amplitude ≈ s_min + margin; exact-equality
-            # splits in clean s_min=0 data are harmless and must not
-            # mass-flag).
+            # (flat band: 0.4%). Off (tol 0) only at s_min == 0, where a
+            # flipped decision provably reconstructs the identical trace
+            # and clean-data exact-equality splits would mass-flag; any
+            # s_min > 0 shifts pool heights by O(s_min) on a flip, which
+            # can move a boundary spike across the binarisation threshold
+            # (gate: ops.oasis._flag_tol).
             bord = active & (jnp.abs(lhs - rhs)
                              < flag_tol * (1.0 + jnp.abs(rhs)))
         else:

@@ -258,11 +258,39 @@ def test_long_ladder_scales_with_t():
 
 def test_flag_tol_gate():
     from calciumgan_tpu.ops.oasis import _flag_tol, _BORDERLINE_TOL
-    # borderline flips toggle a spike of amplitude ~s_min: only
-    # consequential when that clears the binarisation threshold
+    # any s_min > 0 makes a flipped merge consequential (pool heights move
+    # by O(s_min), which can shift a NEIGHBOURING boundary spike across the
+    # threshold); only s_min == 0 is provably harmless and must stay off
+    # so clean-data exact-equality splits don't mass-flag
     assert _flag_tol(0.55, 0.5) == _BORDERLINE_TOL
     assert _flag_tol(0.5, 0.5) == _BORDERLINE_TOL
+    assert _flag_tol(0.3, 0.5) == _BORDERLINE_TOL
     assert _flag_tol(0.0, 0.5) == 0.0
+
+
+def test_exact_spikes_host_fallback_is_f64(monkeypatch, rng):
+    """Without the native lib, the exact redo must use the f64 numpy golden
+    (NOT the f32 while_loop family the flag exists to escape) and warn once
+    (round-4 ADVICE)."""
+    import warnings
+    from calciumgan_tpu import native
+    from calciumgan_tpu.ops import oasis as oasis_mod
+
+    monkeypatch.setattr(native, "deconvolve_batch",
+                        lambda *a, **k: None)
+    monkeypatch.setattr(oasis_mod, "_WARNED_NATIVE_FALLBACK", False)
+    y, _ = synth_traces(rng, n=4, T=200)
+    y = y.astype(np.float32)
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        got = oasis_mod._exact_spikes_host(y, 0.95, 0.55, 0.5)
+        # second call: warn-once
+        oasis_mod._exact_spikes_host(y, 0.95, 0.55, 0.5)
+    assert sum("numpy f64 golden" in str(w.message) for w in caught) == 1
+    exp = oasis_ref.deconvolve_signals_ref(
+        y.astype(np.float64), g=0.95, s_min=0.55, threshold=0.5)
+    assert got.dtype == np.int8
+    np.testing.assert_array_equal(got, exp.astype(np.int8))
 
 
 def test_deconvolve_signals_host_fuzz_matches_f64_golden():
