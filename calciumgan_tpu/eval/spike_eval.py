@@ -25,20 +25,24 @@ from calciumgan_tpu.utils import arrays, h5
 # deconvolution
 # ---------------------------------------------------------------------------
 
-def deconvolve_traces(traces: np.ndarray) -> np.ndarray:
+def deconvolve_traces(traces: np.ndarray, device_flat=None) -> np.ndarray:
     """Binary spikes for (..., T) traces.
 
     Backend order: Pallas TPU kernel when a TPU is attached (with host-side
     redo gathering — flagged traces re-run the exact path alone, see
     :func:`calciumgan_tpu.ops.oasis.deconvolve_signals_host`), else the
     OpenMP C++ host kernel (~13.6k traces/s/core), else the XLA while_loop
-    path (exact but HBM-bound)."""
+    path (exact but HBM-bound).
+
+    ``device_flat``: optional pre-uploaded ``(N, T)`` device copy of the
+    flattened traces (see :func:`deconvolve_file`'s one-chunk-ahead
+    staging); only used on the TPU path."""
     from calciumgan_tpu import native
     from calciumgan_tpu.ops.oasis import deconvolve_signals_host
     shape = traces.shape
     flat = np.ascontiguousarray(traces.reshape(-1, shape[-1]), np.float32)
     if jax.default_backend() == "tpu":
-        out = deconvolve_signals_host(flat)
+        out = deconvolve_signals_host(flat, device_signals=device_flat)
     else:
         out = native.deconvolve_batch(flat)
         if out is None:
@@ -90,12 +94,34 @@ def deconvolve_file(config, filename: str, chunk: int = 0) -> None:
         done = max(0, (h5.get_dataset_length(filename, staging) // chunk - 1)
                    * chunk)
         h5.truncate(filename, staging, done)
-    for start in range(done, n, chunk):
+
+    on_tpu = jax.default_backend() == "tpu"
+
+    def load(start):
+        """Read one chunk and START its host->device transfer.
+
+        ``jax.device_put`` is asynchronous, so issuing chunk k+1's upload
+        BEFORE blocking on chunk k's kernel overlaps the transfer (the
+        dominant cost through the tunnel: ~400 ms/8 MB) with the kernel
+        compute + host redo + h5 write of chunk k. Done on the main thread
+        rather than a DevicePrefetcher worker because HDF5 handles are not
+        safe to read from a thread while this loop appends to the same
+        file."""
         signals = h5.get(filename, "signals", start=start,
                          stop=start + chunk)
         # NWC -> (N, C, W) so time is the trailing axis
-        traces = np.transpose(signals, (0, 2, 1))
-        spikes = deconvolve_traces(traces)
+        traces = np.ascontiguousarray(
+            np.transpose(signals, (0, 2, 1)), np.float32)
+        flat = traces.reshape(-1, traces.shape[-1])
+        return traces, (jax.device_put(flat) if on_tpu else None)
+
+    starts = list(range(done, n, chunk))
+    pending = load(starts[0]) if starts else None
+    for i, start in enumerate(starts):
+        traces, dev = pending
+        if i + 1 < len(starts):
+            pending = load(starts[i + 1])  # overlaps this chunk's kernel
+        spikes = deconvolve_traces(traces, device_flat=dev)
         h5.write(filename, {
             staging: np.transpose(spikes, (0, 2, 1)).astype(np.int8)})
     h5.rename(filename, staging, "spikes")

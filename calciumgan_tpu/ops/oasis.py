@@ -271,7 +271,8 @@ def _long_ladder(T: int) -> tuple:
 
 
 def deconvolve_signals_host(signals, g: float = 0.95, s_min: float = 0.55,
-                            threshold: float = 0.5, depth: int | None = None):
+                            threshold: float = 0.5, depth: int | None = None,
+                            device_signals=None):
     """Host-driver deconvolution: Pallas kernel + host-side redo gathering.
 
     Same result as :func:`deconvolve_signals` (backend='pallas') but redo
@@ -288,6 +289,12 @@ def deconvolve_signals_host(signals, g: float = 0.95, s_min: float = 0.55,
     escalating
     the whole chunk on device while a large fraction of lanes flags. An
     explicit ``depth`` pins a single dispatch.
+
+    ``device_signals``: optional already-on-device copy of ``signals``
+    (same shape/dtype). Callers looping over chunks pass the NEXT chunk's
+    async ``jax.device_put`` before blocking on the current one, so the
+    host->device transfer overlaps kernel compute
+    (:func:`calciumgan_tpu.eval.spike_eval.deconvolve_file`).
 
     Args: signals (..., T) host array. Returns np.int8 of the same shape.
     """
@@ -310,7 +317,14 @@ def deconvolve_signals_host(signals, g: float = 0.95, s_min: float = 0.55,
         ladder = _long_ladder(T)
     else:  # clamp to T and dedupe so short traces run one rung, not three
         ladder = tuple(dict.fromkeys(min(T, d) for d in _DEPTH_LADDER))
-    dev = jax.device_put(signals)  # upload once; ladder retries reuse it
+    if device_signals is not None:
+        if tuple(device_signals.shape) != signals.shape:
+            raise ValueError(
+                f"device_signals shape {tuple(device_signals.shape)} != "
+                f"signals shape {signals.shape}")
+        dev = device_signals
+    else:
+        dev = jax.device_put(signals)  # upload once; ladder retries reuse it
     for i, d in enumerate(ladder):
         if long_kernel:
             spikes_dev, redo_dev = _pallas_spikes_long(

@@ -268,6 +268,21 @@ def test_flag_tol_gate():
     assert _flag_tol(0.0, 0.5) == 0.0
 
 
+def test_deconvolve_signals_host_accepts_device_signals(rng):
+    """The one-chunk-ahead staging path (eval.spike_eval.deconvolve_file)
+    passes a pre-uploaded device copy; result must be identical to the
+    host-array path, and a shape mismatch must fail loudly."""
+    import jax
+    from calciumgan_tpu.ops.oasis import deconvolve_signals_host
+    y, _ = synth_traces(rng, n=6, T=192)
+    y = y.astype(np.float32)
+    base = deconvolve_signals_host(y)
+    staged = deconvolve_signals_host(y, device_signals=jax.device_put(y))
+    np.testing.assert_array_equal(base, staged)
+    with pytest.raises(ValueError, match="device_signals shape"):
+        deconvolve_signals_host(y, device_signals=jax.device_put(y[:3]))
+
+
 def test_exact_spikes_host_fallback_is_f64(monkeypatch, rng):
     """Without the native lib, the exact redo must use the f64 numpy golden
     (NOT the f32 while_loop family the flag exists to escape) and warn once
