@@ -53,6 +53,15 @@ class GAN:
         # Keras Adam epsilon is 1e-7 (optax default is 1e-8)
         self.tx_gen = optax.adam(config.learning_rate, eps=1e-7)
         self.tx_dis = optax.adam(config.learning_rate, eps=1e-7)
+        # generator-EMA decay per generator update (0 = off). GAN training
+        # (the reference included) evaluates the raw generator, whose sample
+        # quality oscillates with the adversarial game; an EMA smooths the
+        # trajectory so eval/generate track the average generator instead
+        # of wherever this step's game left it (round-4 fft runs showed a
+        # post-optimum KL rebound of exactly that character).
+        self.ema = float(getattr(config, "ema", 0.0) or 0.0)
+        if not 0.0 <= self.ema < 1.0:
+            raise ValueError(f"--ema must be in [0, 1), got {self.ema}")
 
     # ------------------------------------------------------------------
     def init_state(self, rng: jax.Array) -> GANState:
@@ -64,14 +73,34 @@ class GAN:
         dvars = self.discriminator.init(
             {"params": kd, "phase": kp, "dropout": kr}, signal,
             training=False)
+        gen_net = make_net_state(gvars, self.tx_gen)
+        # the EMA seed must be a COPY: aliasing the params buffers makes the
+        # donated train step see the same buffer twice ("Attempt to donate
+        # the same buffer twice in Execute()")
+        ema = (jax.tree_util.tree_map(jnp.copy, gen_net.params)
+               if self.ema > 0 else None)
         return GANState(
-            generator=make_net_state(gvars, self.tx_gen),
-            discriminator=make_net_state(dvars, self.tx_dis))
+            generator=gen_net,
+            discriminator=make_net_state(dvars, self.tx_dis),
+            ema_params=ema)
 
     # ------------------------------------------------------------------
     def get_noise(self, key: jax.Array, batch_size: int) -> jnp.ndarray:
         return jax.random.normal(
             key, (batch_size,) + self.noise_shape, jnp.float32)
+
+    def eval_gen_params(self, state: GANState):
+        """Generator params for eval/generate: the EMA when enabled."""
+        return (state.ema_params if state.ema_params is not None
+                else state.generator.params)
+
+    def update_ema(self, state: GANState, new_gen_params):
+        """Post-update EMA of the generator params (None stays None)."""
+        if state.ema_params is None:
+            return None
+        return jax.tree_util.tree_map(
+            lambda e, p: self.ema * e + (1.0 - self.ema) * p,
+            state.ema_params, new_gen_params)
 
     def denormalize(self, x):
         if not self.normalize:
@@ -175,14 +204,16 @@ class GAN:
                 new_dis, shardings.discriminator)
         logs = {"loss/generator": gen_loss, "loss/discriminator": dis_loss}
         logs.update(self.metrics(real, fake))
-        return GANState(generator=new_gen, discriminator=new_dis), logs
+        return GANState(generator=new_gen, discriminator=new_dis,
+                        ema_params=self.update_ema(state, new_gen.params)), \
+            logs
 
     def eval_step(self, state: GANState, real, key, mask=None):
         """``mask`` (B,) zero-weights padded tail-batch rows so every logged
         mean reduces exactly over the real rows (None = all rows real)."""
         gen_loss, dis_loss, fake, _, _ = self._forward(
-            state.generator.params, state.discriminator.params, state, real,
-            key, False, mask=mask)
+            self.eval_gen_params(state), state.discriminator.params, state,
+            real, key, False, mask=mask)
         logs = {"loss/generator": gen_loss, "loss/discriminator": dis_loss}
         logs.update(self.metrics(real, fake, mask))
         # see wgan_gp.eval_step: global real-row count for exact cross-batch
@@ -195,8 +226,8 @@ class GAN:
     def generate(self, state: GANState, noise, key=None, denorm: bool = False):
         key = key if key is not None else jax.random.PRNGKey(0)
         fake, _ = self.gen_apply(
-            state.generator.params, state.generator.batch_stats, noise, key,
-            training=False)
+            self.eval_gen_params(state), state.generator.batch_stats, noise,
+            key, training=False)
         return self.denormalize(fake) if denorm else fake
 
 

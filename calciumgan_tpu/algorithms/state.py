@@ -32,6 +32,10 @@ class NetState(struct.PyTreeNode):
 class GANState(struct.PyTreeNode):
     generator: NetState
     discriminator: NetState
+    # exponential moving average of the generator params (``--ema``);
+    # None when disabled, so the pytree structure (and every checkpoint
+    # written before the feature existed) is unchanged unless opted in
+    ema_params: Any = None
 
 
 def make_net_state(variables: dict, tx) -> NetState:

@@ -160,7 +160,9 @@ class WGAN_GP(GAN):
             "loss/gradient_penalty": jnp.mean(gps),
         }
         logs.update(self.metrics(real, fake))
-        return GANState(generator=gen_net, discriminator=dis_net), logs
+        return GANState(generator=gen_net, discriminator=dis_net,
+                        ema_params=self.update_ema(state, gen_net.params)), \
+            logs
 
     def eval_step(self, state: GANState, real, key, mask=None):
         """``mask`` (B,) zero-weights padded tail-batch rows so every logged
@@ -168,7 +170,7 @@ class WGAN_GP(GAN):
         k_noise, k_gen, k_real, k_fake, k_gp = jax.random.split(key, 5)
         noise = self.get_noise(k_noise, real.shape[0])
         fake, _ = self.gen_apply(
-            state.generator.params, state.generator.batch_stats, noise,
+            self.eval_gen_params(state), state.generator.batch_stats, noise,
             k_gen, False)
         real_out, _ = self.dis_apply(
             state.discriminator.params, state.discriminator.batch_stats,

@@ -56,6 +56,11 @@ class Config:
     # analysis counts every iteration (a scan body is counted once, which
     # understates FLOPs/MFU n_critic-fold). Costs ~n_critic x compile time.
     unroll_critic: bool = False
+    # generator-EMA decay per generator update (0 = off): eval/generate use
+    # an exponential moving average of the generator params, smoothing the
+    # adversarial oscillation that shows up as post-optimum KL rebounds
+    # (BASELINE.md, fft recipe). Typical value 0.999.
+    ema: float = 0.0
     clear_output_dir: bool = False
     save_generated: str = ""  # "", "last", "all"
     plot_weights: bool = False

@@ -71,6 +71,26 @@ def latest_epoch(ckpt_dir: str) -> Optional[int]:
     return max(epochs) if epochs else None
 
 
+def _reconcile_ema(template: Any, state_dict: dict, verbose: int) -> None:
+    """Make ``GANState.ema_params`` optional across checkpoint vintages.
+
+    Checkpoints written before the ``--ema`` feature have no ``ema_params``
+    key (and ema-off runs store it as None); a strict structural restore
+    would refuse both directions. Resuming with ema ON from a checkpoint
+    without an average seeds it from the stored generator params; resuming
+    with ema OFF drops any stored average (the raw params are the state)."""
+    if not hasattr(template, "ema_params") or "generator" not in state_dict:
+        return
+    stored = state_dict.get("ema_params")
+    if template.ema_params is None:
+        state_dict["ema_params"] = None
+    elif stored is None:
+        state_dict["ema_params"] = state_dict["generator"]["params"]
+        if verbose:
+            print("Checkpoint has no generator EMA: seeded --ema from the "
+                  "restored params")
+
+
 def restore(ckpt_dir: str, template: Any, epoch: Optional[int] = None,
             verbose: int = 1) -> Tuple[Any, Optional[int]]:
     """Restore the latest (or a specific) checkpoint into ``template``'s
@@ -90,7 +110,9 @@ def restore(ckpt_dir: str, template: Any, epoch: Optional[int] = None,
         if hasattr(leaf, "shape") and hasattr(leaf, "dtype") else leaf,
         template)
     with open(path, "rb") as f:
-        host_state = serialization.from_bytes(host_template, f.read())
+        state_dict = serialization.msgpack_restore(f.read())
+    _reconcile_ema(template, state_dict, verbose)
+    host_state = serialization.from_state_dict(host_template, state_dict)
 
     def put(tmpl, host):
         sharding = getattr(tmpl, "sharding", None)

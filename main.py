@@ -39,6 +39,11 @@ def parse_args(argv=None) -> Config:
                         help="unroll the critic loop into the XLA graph "
                              "(same math; better scheduling and honest FLOP "
                              "accounting at ~n_critic x compile time)")
+    parser.add_argument("--ema", default=0.0, type=float,
+                        help="generator-EMA decay per generator update "
+                             "(0 = off, typical 0.999): eval/generate use "
+                             "the averaged generator, smoothing adversarial "
+                             "oscillation in the eval metrics")
     parser.add_argument("--clear_output_dir", action="store_true")
     parser.add_argument("--save_generated", default="", type=str,
                         choices=["", "last", "all"])

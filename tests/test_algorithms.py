@@ -149,6 +149,7 @@ def test_generate_denorm():
 
 # ---- mesh execution ------------------------------------------------------
 
+@pytest.mark.slow
 def test_train_step_on_8dev_data_mesh():
     cfg = tiny_config()
     algo, state = build(cfg)
@@ -170,6 +171,7 @@ def test_train_step_on_8dev_data_mesh():
     assert out.shape == (8, 64, 6)
 
 
+@pytest.mark.slow
 def test_data_mesh_matches_single_device():
     cfg = tiny_config(n_critic=1)
     algo, state = build(cfg)
@@ -191,6 +193,7 @@ def test_data_mesh_matches_single_device():
                                rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_model_parallel_mesh_runs():
     """Model parallelism must actually shard the discriminator head (the
     O(seq) Dense(1) kernel — VERDICT.md weak #5: the divisibility guard in
@@ -244,6 +247,7 @@ def test_model_parallel_mesh_runs():
                                float(elogs["loss/discriminator"]), rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_model_parallel_constrained_step_partitioner_invariant():
     """The PRODUCTION model-parallel train step (make_step_fns wires the
     state shardings into train_step's with_sharding_constraint pins) must
@@ -314,6 +318,7 @@ def test_model_parallel_shardy_canary():
         np.testing.assert_allclose(shardy[k], gspmd[k], rtol=1e-3, err_msg=k)
 
 
+@pytest.mark.slow
 def test_multi_slice_dcn_mesh_matches_single_device():
     """Faked 2-slice (DCN) topology: (slice=2, data=2, model=2) over the 8
     virtual devices. The slice axis is data-parallel only — batch sharded
@@ -370,6 +375,7 @@ def test_create_time_mesh_rejects_oversized_request():
         create_time_mesh(2, 8)  # 16 > the 8 faked devices
 
 
+@pytest.mark.slow
 def test_unrolled_critic_matches_scan():
     """--unroll_critic is pure scheduling: identical math to the lax.scan
     critic loop (and makes XLA's cost analysis count every iteration)."""
@@ -384,3 +390,74 @@ def test_unrolled_critic_matches_scan():
         np.testing.assert_allclose(np.asarray(logs[False][k]),
                                    np.asarray(logs[True][k]), rtol=2e-5,
                                    err_msg=k)
+
+
+@pytest.mark.parametrize("algorithm", ["wgan-gp", "gan"])
+@pytest.mark.slow
+def test_generator_ema_tracks_and_drives_eval(algorithm):
+    """--ema keeps an exponential average of the generator params that (a)
+    follows the textbook recurrence exactly and (b) is what eval/generate
+    sample from (the round-4 fft post-optimum rebound mitigation)."""
+    beta = 0.5
+    cfg = tiny_config(algorithm=algorithm, ema=beta, n_critic=1)
+    algo, state = build(cfg)
+    assert state.ema_params is not None
+    # initialised to the params themselves
+    for e, p in zip(jax.tree.leaves(state.ema_params),
+                    jax.tree.leaves(state.generator.params)):
+        np.testing.assert_array_equal(np.asarray(e), np.asarray(p))
+
+    real = jnp.asarray(fake_batch(cfg))
+    step = jax.jit(algo.train_step)
+    s1, _ = step(state, real, jax.random.PRNGKey(1))
+    expected = jax.tree.map(lambda e, p: beta * e + (1 - beta) * p,
+                            state.ema_params, s1.generator.params)
+    for a, b in zip(jax.tree.leaves(s1.ema_params),
+                    jax.tree.leaves(expected)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+
+    s2, _ = step(s1, real, jax.random.PRNGKey(2))
+    # after 2 steps EMA != raw params, and generate() uses the EMA:
+    # swapping raw params for the EMA must reproduce a no-EMA generate
+    noise = jnp.zeros((4, cfg.noise_dim), jnp.float32)
+    out_ema = algo.generate(s2, noise)
+    out_raw = algo.generate(s2.replace(ema_params=None), noise)
+    assert float(jnp.abs(out_ema - out_raw).max()) > 0
+    swapped = s2.replace(
+        generator=s2.generator.replace(params=s2.ema_params),
+        ema_params=None)
+    np.testing.assert_array_equal(np.asarray(algo.generate(swapped, noise)),
+                                  np.asarray(out_ema))
+
+
+def test_ema_disabled_keeps_state_structure():
+    """ema=0 must leave the pytree identical to the pre-feature layout so
+    old checkpoints restore byte-for-byte."""
+    cfg = tiny_config(ema=0.0)
+    _, state = build(cfg)
+    assert state.ema_params is None
+
+
+def test_ema_validation():
+    with pytest.raises(ValueError, match="--ema"):
+        build(tiny_config(ema=1.0))
+
+
+@pytest.mark.slow
+def test_ema_survives_donated_mesh_step():
+    """The EMA seed must not alias the params buffers: the mesh train step
+    donates the state, and an aliased seed dies with 'Attempt to donate the
+    same buffer twice in Execute()'."""
+    cfg = tiny_config(ema=0.99, n_critic=1, data_parallelism=4,
+                      model_parallelism=2)
+    algo, state = build(cfg)
+    mesh = create_mesh(4, 2)
+    state = jax.device_put(state, state_shardings(mesh, state))
+    train, _, _ = make_step_fns(algo, mesh, state)
+    from calciumgan_tpu.parallel.mesh import shard_batch
+    batch = shard_batch(mesh, fake_batch(cfg))
+    state, logs = train(state, batch, jax.random.PRNGKey(1))
+    state, logs = train(state, batch, jax.random.PRNGKey(2))
+    jax.block_until_ready(logs)
+    assert state.ema_params is not None
+    assert np.isfinite(float(np.asarray(logs["loss/generator"])))

@@ -135,6 +135,80 @@ def test_checkpoint_roundtrip_and_resume(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def _strip_ema_key(path):
+    """Rewrite a checkpoint as a PRE-ema-feature file (no ema_params key)."""
+    from flax import serialization
+    with open(path, "rb") as f:
+        d = serialization.msgpack_restore(f.read())
+    d.pop("ema_params", None)
+    with open(path, "wb") as f:
+        f.write(serialization.msgpack_serialize(d))
+
+
+@pytest.mark.parametrize("pre_feature", [False, True])
+def test_resume_seeds_ema_from_ema_less_checkpoint(tmp_path, pre_feature):
+    """Enabling --ema on a run checkpointed without it (either an ema-off
+    run of the current code or a pre-feature checkpoint with no ema_params
+    key at all) must resume by seeding the EMA from the restored generator
+    params, not crash on the structure mismatch."""
+    import jax
+    cfg, algo, state = _tiny_state()
+    assert state.ema_params is None
+    cfg.output_dir = str(tmp_path)
+    cfg.ckpt_dir = str(tmp_path / "checkpoints")
+    cfg.global_step = 7
+    checkpoint.save(cfg.ckpt_dir, 3, state, config=cfg, verbose=0)
+    if pre_feature:
+        _strip_ema_key(checkpoint.checkpoint_path(cfg.ckpt_dir, 3))
+
+    cfg.ema = 0.999
+    from calciumgan_tpu.algorithms.registry import get_algorithm
+    algo2 = get_algorithm(cfg, algo.generator, algo.discriminator)
+    template = algo2.init_state(jax.random.PRNGKey(1))
+    assert template.ema_params is not None
+    cfg.start_epoch = 0
+    resumed = checkpoint.resume(cfg, template)
+    assert cfg.start_epoch == 4
+    for a, b in zip(jax.tree_util.tree_leaves(resumed.ema_params),
+                    jax.tree_util.tree_leaves(resumed.generator.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # and the restored params are the checkpointed ones, not the template's
+    for a, b in zip(jax.tree_util.tree_leaves(resumed.generator.params),
+                    jax.tree_util.tree_leaves(state.generator.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_restore_pre_ema_checkpoint_with_ema_off(tmp_path):
+    """The conv2d/fft runs' existing checkpoints (written before the ema
+    field existed) must keep restoring byte-identically with ema off."""
+    import jax
+    cfg, algo, state = _tiny_state()
+    cfg.ckpt_dir = str(tmp_path / "checkpoints")
+    checkpoint.save(cfg.ckpt_dir, 0, state, config=cfg, verbose=0)
+    _strip_ema_key(checkpoint.checkpoint_path(cfg.ckpt_dir, 0))
+    zeroed = jax.tree_util.tree_map(lambda x: x * 0, state)
+    restored, epoch = checkpoint.restore(cfg.ckpt_dir, zeroed, verbose=0)
+    assert epoch == 0 and restored.ema_params is None
+    for a, b in zip(jax.tree_util.tree_leaves(jax.device_get(restored)),
+                    jax.tree_util.tree_leaves(jax.device_get(state))):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_restore_ema_checkpoint_with_ema_off(tmp_path):
+    """Disabling --ema on resume drops the stored average (raw params are
+    the state) instead of failing the structural restore."""
+    import jax
+    cfg, algo, state = _tiny_state()
+    cfg.ema = 0.9
+    from calciumgan_tpu.algorithms.registry import get_algorithm
+    algo2 = get_algorithm(cfg, algo.generator, algo.discriminator)
+    ema_state = algo2.init_state(jax.random.PRNGKey(2))
+    cfg.ckpt_dir = str(tmp_path / "checkpoints")
+    checkpoint.save(cfg.ckpt_dir, 0, ema_state, config=cfg, verbose=0)
+    restored, epoch = checkpoint.restore(cfg.ckpt_dir, state, verbose=0)
+    assert epoch == 0 and restored.ema_params is None
+
+
 def test_resume_without_checkpoint(tmp_path):
     cfg, algo, state = _tiny_state()
     cfg.output_dir = str(tmp_path)
