@@ -4,6 +4,7 @@ import os
 
 import jax
 import numpy as np
+import pytest
 
 # repo root on sys.path: tests/conftest.py bootstraps it for the session
 
@@ -17,6 +18,7 @@ def test_entry_compiles_and_runs():
     assert np.isfinite(np.asarray(jax.device_get(score))).all()
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_8(capsys):
     from __graft_entry__ import dryrun_multichip
     dryrun_multichip(8)
@@ -28,6 +30,7 @@ def test_dryrun_multichip_8(capsys):
             in out)
 
 
+@pytest.mark.slow
 def test_dryrun_parent_never_initializes_backend(tmp_path):
     """The routing decision must not touch jax.devices()/default_backend():
     during a tunnel outage those hang in the TPU plugin's device discovery,

@@ -32,6 +32,7 @@ def lc_config(**kw):
     return cfg
 
 
+@pytest.mark.slow
 def test_matches_standard_step_at_m0(rng):
     cfg = lc_config()
     real = rng.random((8,) + tuple(cfg.signal_shape)).astype(np.float32)
@@ -62,6 +63,7 @@ def test_matches_standard_step_at_m0(rng):
                                float(logs_std["loss/generator"]), rtol=0.05)
 
 
+@pytest.mark.slow
 def test_trains_and_generates_with_phase_shuffle(rng):
     cfg = lc_config(m=10, n_critic=1)
     mesh = create_time_mesh(data_parallelism=2, time_parallelism=4)
@@ -97,6 +99,7 @@ def test_rejects_batch_norm():
         make_long_context_algorithm(cfg, create_time_mesh(1, 8))
 
 
+@pytest.mark.slow
 def test_main_cli_time_parallelism(tmp_path, rng):
     """End-to-end: the training driver runs with --time_parallelism on a
     long-sequence dataset (no offline windowing down to sl2048 needed)."""

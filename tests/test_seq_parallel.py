@@ -10,6 +10,7 @@ at m>0, plus the phase-shuffle primitive against ops.phase_shuffle.
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -29,6 +30,7 @@ def shard_time(mesh, x):
     return jax.device_put(x, NamedSharding(mesh, P(None, "time", None)))
 
 
+@pytest.mark.slow
 def test_halo_phase_shuffle_matches_unsharded(rng):
     from calciumgan_tpu.parallel.seq_parallel import halo_phase_shuffle_local
 
@@ -64,6 +66,7 @@ def test_matches_flax_discriminator_m0(rng):
     np.testing.assert_allclose(np.asarray(got), want, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_matches_manual_forward_with_phase_shuffle(rng):
     W, C, u, k, s, m = 2048, 3, 2, 24, 2, 10
     dis = Discriminator(num_units=u, kernel_size=k, strides=s, m=m)
@@ -132,6 +135,7 @@ def test_halo_conv_transpose_matches_flax(rng):
                                    err_msg=f"K={K} s={s}")
 
 
+@pytest.mark.slow
 def test_seq_parallel_generator_matches_flax(rng):
     from calciumgan_tpu.models.calciumgan import Generator
     from calciumgan_tpu.parallel.seq_parallel import seq_parallel_generator

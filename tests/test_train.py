@@ -143,6 +143,7 @@ def make_variant_dataset(tmp_path, rng, apply_fft=False, conv2d=False,
     return out
 
 
+@pytest.mark.slow
 def test_main_conv2d_dataset(tmp_path, rng):
     from main import parse_args
     input_dir = make_variant_dataset(tmp_path, rng, conv2d=True)
@@ -251,6 +252,7 @@ def test_mean_logs_weighted():
     assert out["a"] == pytest.approx(2.0)
 
 
+@pytest.mark.slow
 def test_conv2d_train_then_eval_cli(tmp_path, rng):
     """The 2-D model path end-to-end INCLUDING post-hoc evaluation."""
     from main import parse_args
