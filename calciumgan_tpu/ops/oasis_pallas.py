@@ -48,6 +48,7 @@ import math
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
@@ -55,6 +56,89 @@ from jax.experimental.pallas import tpu as pltpu
 __all__ = ["oasis_ar1_pallas", "oasis_ar1_pallas_long", "default_depth"]
 
 _LANES = 128
+
+
+# ---------------------------------------------------------------------------
+# Precise-mode helpers: double-single (compensated) f32 arithmetic.
+#
+# The long kernel's borderline-flag tax (round-4 VERDICT: ~23% of lanes at
+# 20k frames, each an exact host redo) is set by the width of the f32 error
+# band around each merge decision. The dominant error was the f32
+# ACCUMULATION of the pool statistics: v picks up ~0.2*l*eps relative error
+# over a length-l pool's merges, and w the same. Precise mode removes both:
+#   * w is never accumulated — for AR(1) pools it is a closed form of the
+#     (exactly carried) pool length, w(l) = (1 - g^(2l)) / (1 - g^2),
+#     evaluated via expm1 so small-l cancellation costs no bits;
+#   * v is carried as a double-single pair (value + compensation): merges
+#     track the exact product/sum rounding via Veltkamp/TwoSum, so v's error
+#     stays O(eps^2 * l) instead of O(eps * l);
+#   * g^l is evaluated with a 12-bit-split log so the exp ARGUMENT is exact
+#     for integer l <= 4096 (the f32 product l*log(g) alone costs up to
+#     ~3e-6 relative at l ~ 2000).
+# The remaining error is the intrinsic ~1-ulp of the hardware exp/expm1 and
+# division, so the borderline band shrinks ~10x (empirically calibrated —
+# tools/calibrate_oasis_band.py) and with it the host-redo tax.
+# ---------------------------------------------------------------------------
+
+def _split12(x: float):
+    """(hi, lo): hi carries the top 12 significand bits of f32(x) — so an
+    integer-valued multiplier up to 2^12 times hi is EXACT in f32 — and lo
+    (f32) holds the residual of the full f64 value; (hi + lo) represents x
+    to ~36 bits."""
+    x32 = np.float32(x)
+    c = np.float32(x32 * np.float32(2 ** 12 + 1))
+    hi = np.float32(c - np.float32(c - x32))
+    return float(hi), float(np.float32(float(x) - float(hi)))
+
+
+def _two_sum(a, b):
+    """Knuth TwoSum: s + e == a + b exactly (s = fl(a+b))."""
+    s = a + b
+    bb = s - a
+    e = (a - (s - bb)) + (b - bb)
+    return s, e
+
+
+def _fast_two_sum(a, b):
+    """Dekker: requires |a| >= |b| (here: b is a compensation term)."""
+    s = a + b
+    return s, b - (s - a)
+
+
+def _veltkamp_split(a):
+    c = a * jnp.float32(2 ** 12 + 1)
+    hi = c - (c - a)
+    return hi, a - hi
+
+
+def _two_product(a, b):
+    """p + e == a * b exactly (no fma on the VPU, so Veltkamp splits)."""
+    p = a * b
+    ah, al = _veltkamp_split(a)
+    bh, bl = _veltkamp_split(b)
+    e = ((ah * bh - p) + ah * bl + al * bh) + al * bl
+    return p, e
+
+
+def _poly_expm1_small(u):
+    """expm1(u) for |u| <= ~0.06 (the residual of the 12-bit log split
+    times l <= 4096): cubic Horner, residual u^4/24 <= 2e-8 relative."""
+    return u * (1.0 + u * (0.5 + u * jnp.float32(1.0 / 6.0)))
+
+
+def _expm1_neg(x_hi, x_lo):
+    """expm1(x_hi + x_lo) for x <= 0 without lax.expm1 (unimplemented in
+    the Pallas TPU lowering). |x| < 0.5: a degree-10 Taylor (truncation
+    <= 7e-10 relative). x <= -0.5: exp(x) - 1, where the subtraction is
+    exact for exp(x) in [0.5, 0.607] (Sterbenz) and loses no relative
+    accuracy below that, so exp's own ~1 ulp is amplified by at most
+    exp/|expm1| <= 1.55."""
+    x = x_hi + x_lo
+    t = x * (1.0 + x * (1 / 2 + x * (1 / 6 + x * (1 / 24 + x * (
+        1 / 120 + x * (1 / 720 + x * (1 / 5040 + x * (
+            1 / 40320 + x * jnp.float32(1 / 362880)))))))))
+    e = jnp.exp(x_hi) * (1.0 + _poly_expm1_small(x_lo))
+    return jnp.where(x > -0.5, t, e - 1.0)
 
 
 def default_depth(T: int) -> int:
@@ -186,6 +270,132 @@ def _stack_machine(yy_ref, c_ref, vs_ref, ws_ref, ls_ref, D: int, g: float,
     def finalize_pools():
         vs_ref[:] = jnp.maximum(vs_ref[:] / ws_ref[:], 0.0)
 
+    recon_step = _make_recon_step(c_ref, vs_ref, ls_ref, log_g)
+    return init_stacks, push, finalize_pools, recon_step
+
+
+def _stack_machine_precise(yy_ref, c_ref, vs_ref, ve_ref, ls_ref, D: int,
+                           g: float, s_min: float, K: int, flag_tol: float):
+    """Precise-mode pool-stack machinery (see the double-single note above).
+
+    Same event structure, stack discipline, and redo-bit semantics as
+    :func:`_stack_machine`; the three scratch stacks are (v_hi, v_lo, l) —
+    the w stack is replaced by the closed form w(l) = -expm1(2l ln g)/(1-g²)
+    of the exactly-carried integer length, so the VMEM roll traffic is
+    unchanged while the merge-decision error drops from O(eps*l) to the
+    intrinsic ~1-ulp of exp/expm1/div. The matching (tighter) borderline
+    band is ``ops.oasis._BORDERLINE_TOL_PRECISE``."""
+    log_g = math.log(g)
+    lng_hi, lng_lo = _split12(log_g)
+    inv_1mg2 = float(np.float32(1.0 / (1.0 - float(g) * float(g))))
+
+    def gl_of(l):
+        # g^l with an exact exp argument: l*lng_hi is exact for integer
+        # l <= 4096 (12-bit split), the residual l*lng_lo (<= ~0.06) rides
+        # a cubic correction
+        return jnp.exp(l * lng_hi) * (1.0 + _poly_expm1_small(l * lng_lo))
+
+    def w_of(l):
+        # w(l) = (1 - g^(2l)) / (1 - g^2), expm1 formulation so small-l
+        # cancellation costs no bits; w(1) == 1 exactly by construction
+        m = _expm1_neg((2.0 * l) * lng_hi,   # exact: same split argument
+                       (2.0 * l) * lng_lo)
+        w = -m * inv_1mg2
+        return jnp.where(l == 1.0, 1.0, w)
+
+    def violation(n, top_singleton: bool):
+        # division-free decision: multiply lhs < rhs through by w0*w1 > 0,
+        #   F = v0*w1 - w0*R,  R = gl*v1 + s_min*w1  (= rhs*w1)
+        # so viol <=> F < 0, and the relative band |lhs-rhs| <
+        # tol*(1+|rhs|) becomes |F| < tol * w0*(w1 + |R|) — scale-invariant
+        # by construction, and the f32 error budget improves (products
+        # round at 0.5 ulp; the two-term compensated divisions did not)
+        v0h, v0e = vs_ref[0:1, :], ve_ref[0:1, :].astype(jnp.float32)
+        v1h, v1e = vs_ref[1:2, :], ve_ref[1:2, :].astype(jnp.float32)
+        l1 = ls_ref[1:2, :]
+        gl = gl_of(l1)
+        w1 = w_of(l1)
+        R = gl * v1h + gl * v1e + s_min * w1
+        v0w1 = v0h * w1 + v0e * w1
+        if top_singleton:
+            # the pool just pushed is a singleton on every lane: w0 == 1
+            F = v0w1 - R
+            scale = w1 + jnp.abs(R)
+        else:
+            w0 = w_of(ls_ref[0:1, :])
+            F = v0w1 - w0 * R
+            scale = w0 * (w1 + jnp.abs(R))
+        active = n >= 2
+        viol = active & (F < 0.0)
+        if flag_tol > 0.0:
+            bord = active & (jnp.abs(F) < flag_tol * scale)
+        else:
+            bord = jnp.zeros_like(viol)
+        return viol.astype(jnp.int32), bord.astype(jnp.int32), gl
+
+    def masked_merge(n, top_singleton: bool):
+        violi, bord, gl = violation(n, top_singleton)
+        viol = violi > 0
+        v0h, l0 = vs_ref[0:1, :], ls_ref[0:1, :]
+        v1h, l1 = vs_ref[1:2, :], ls_ref[1:2, :]
+        v0e = ve_ref[0:1, :].astype(jnp.float32)
+        v1e = ve_ref[1:2, :].astype(jnp.float32)
+        # compensated mv = v1 + gl*v0: track the product and sum roundings
+        p, pe = _two_product(gl, v0h)
+        s, se = _two_sum(v1h, p)
+        mve = ((se + pe) + gl * v0e) + v1e
+        mvh, mve = _fast_two_sum(s, mve)
+        ml = l1 + l0
+        vs_ref[:] = jnp.where(viol, jnp.roll(vs_ref[:], -1, axis=0),
+                              vs_ref[:])
+        ve_ref[:] = jnp.where(viol, jnp.roll(ve_ref[:], -1, axis=0),
+                              ve_ref[:])
+        ls_ref[:] = jnp.where(viol, jnp.roll(ls_ref[:], -1, axis=0),
+                              ls_ref[:])
+        vs_ref[0:1, :] = jnp.where(viol, mvh, v0h)
+        ve_ref[0:1, :] = jnp.where(
+            viol, mve.astype(jnp.bfloat16), ve_ref[0:1, :])
+        ls_ref[0:1, :] = jnp.where(viol, ml, l0)
+        return n - violi, bord
+
+    def init_stacks():
+        vs_ref[:] = jnp.zeros((D, _LANES), jnp.float32)
+        ve_ref[:] = jnp.zeros((D, _LANES), jnp.bfloat16)
+        ls_ref[:] = jnp.ones((D, _LANES), jnp.float32)
+
+    def push(t, carry):
+        n, redo = carry
+        vs_ref[:] = jnp.roll(vs_ref[:], 1, axis=0)
+        ve_ref[:] = jnp.roll(ve_ref[:], 1, axis=0)
+        ls_ref[:] = jnp.roll(ls_ref[:], 1, axis=0)
+        vs_ref[0:1, :] = yy_ref[pl.ds(t, 1), :]
+        ve_ref[0:1, :] = jnp.zeros((1, _LANES), jnp.bfloat16)
+        ls_ref[0:1, :] = jnp.ones((1, _LANES), jnp.float32)
+        n = n + 1
+        redo = redo | (n > D).astype(jnp.int32)
+        for i in range(K):
+            n, bord = masked_merge(n, top_singleton=(i == 0))
+            if flag_tol > 0.0:
+                redo = redo | (bord * 4)
+        viol, bord, _ = violation(n, top_singleton=False)
+        redo = redo | (viol * 2)
+        if flag_tol > 0.0:
+            redo = redo | (bord * 4)
+        return n, redo
+
+    def finalize_pools():
+        w = w_of(ls_ref[:])
+        vs_ref[:] = jnp.maximum(
+            (vs_ref[:] + ve_ref[:].astype(jnp.float32)) / w, 0.0)
+
+    recon_step = _make_recon_step(c_ref, vs_ref, ls_ref, log_g)
+    return init_stacks, push, finalize_pools, recon_step
+
+
+def _make_recon_step(c_ref, vs_ref, ls_ref, log_g: float):
+    """Backward-replay step shared by both stack machines (vs holds pool
+    heights after ``finalize_pools``, ls the lengths — see
+    :func:`_stack_machine`'s ``recon_step`` doc)."""
     def recon_step(t, rem):
         h0 = vs_ref[0:1, :]
         decay = jnp.exp((rem - 1.0) * log_g)
@@ -198,14 +408,18 @@ def _stack_machine(yy_ref, c_ref, vs_ref, ws_ref, ls_ref, D: int, g: float,
                               ls_ref[:])
         return jnp.where(done, ls_ref[0:1, :], rem)
 
-    return init_stacks, push, finalize_pools, recon_step
+    return recon_step
 
 
 def _oasis_kernel(T: int, D: int, g: float, s_min: float, K: int,
-                  flag_tol: float):
+                  flag_tol: float, precise: bool = False):
+    machine = _stack_machine_precise if precise else _stack_machine
+
     def kernel(yy_ref, c_ref, s_ref, redo_ref, vs_ref, ws_ref, ls_ref,
                n_ref):
-        init_stacks, push, finalize_pools, recon_step = _stack_machine(
+        # in precise mode the middle scratch stack carries the v
+        # compensation terms instead of the pool weights
+        init_stacks, push, finalize_pools, recon_step = machine(
             yy_ref, c_ref, vs_ref, ws_ref, ls_ref, D, g, s_min, K, flag_tol)
         init_stacks()
 
@@ -239,7 +453,8 @@ def _oasis_kernel(T: int, D: int, g: float, s_min: float, K: int,
 
 
 def _oasis_kernel_long(Tc: int, C: int, T: int, D: int, g: float,
-                       s_min: float, K: int, flag_tol: float):
+                       s_min: float, K: int, flag_tol: float,
+                       precise: bool = False):
     """Time-chunked variant: a (lane_block, 2*C) grid walks each lane
     block's chunks FORWARD (grid steps 0..C-1: pool pushes/merges, stacks
     carried in scratch) then BACKWARD (steps C..2C-1: fused reconstruction
@@ -248,11 +463,12 @@ def _oasis_kernel_long(Tc: int, C: int, T: int, D: int, g: float,
     though only one (Tc, 128) fluorescence window is VMEM-resident at a
     time — this lifts the whole-trace VMEM cap (``_PALLAS_MAX_T``) that
     forces 20k-frame recordings onto the host kernel."""
+    machine = _stack_machine_precise if precise else _stack_machine
 
     def kernel(yy_ref, c_ref, redo_ref, vs_ref, ws_ref, ls_ref, n_ref,
                rem_ref):
         i = pl.program_id(1)
-        init_stacks, push, finalize_pools, recon_step = _stack_machine(
+        init_stacks, push, finalize_pools, recon_step = machine(
             yy_ref, c_ref, vs_ref, ws_ref, ls_ref, D, g, s_min, K, flag_tol)
 
         @pl.when(i == 0)
@@ -293,12 +509,12 @@ def _oasis_kernel_long(Tc: int, C: int, T: int, D: int, g: float,
 @functools.partial(
     jax.jit,
     static_argnames=("g", "lam", "s_min", "depth", "merge_attempts",
-                     "chunk", "interpret", "flag_tol"))
+                     "chunk", "interpret", "flag_tol", "precise"))
 def oasis_ar1_pallas_long(signals: jnp.ndarray, g: float = 0.95,
                           lam: float = 0.0, s_min: float = 0.0,
                           depth: int = 512, merge_attempts: int = 4,
                           chunk: int = 2048, interpret: bool = False,
-                          flag_tol: float = 0.0):
+                          flag_tol: float = 0.0, precise: bool = False):
     """OASIS AR(1) for traces LONGER than the whole-trace kernel's VMEM cap
     (``ops.oasis._PALLAS_MAX_T``), e.g. the 20k-frame recordings
     ``dataset/spike_train_inference.py`` deconvolves (reference hot loop:
@@ -344,7 +560,7 @@ def oasis_ar1_pallas_long(signals: jnp.ndarray, g: float = 0.95,
     out_map = lambda b, i: (jnp.minimum(2 * C - 1 - i, C - 1), b)
     cT, redo = pl.pallas_call(
         _oasis_kernel_long(Tc, C, T, D, g, s_min, merge_attempts,
-                           flag_tol),
+                           flag_tol, precise),
         grid=(Bp // _LANES, 2 * C),
         in_specs=[pl.BlockSpec((Tc, _LANES), in_map,
                                memory_space=pltpu.VMEM)],
@@ -358,7 +574,12 @@ def oasis_ar1_pallas_long(signals: jnp.ndarray, g: float = 0.95,
         ),
         scratch_shapes=[
             pltpu.VMEM((D, _LANES), jnp.float32),
-            pltpu.VMEM((D, _LANES), jnp.float32),
+            # precise mode's middle stack holds the v compensation terms,
+            # carried in bf16 (|ve| <= ulp(v)/2, so bf16's 8-bit mantissa
+            # keeps the compensated error O(2^-32 * l)) — half the roll
+            # bytes of the classic w stack
+            pltpu.VMEM((D, _LANES),
+                       jnp.bfloat16 if precise else jnp.float32),
             pltpu.VMEM((D, _LANES), jnp.float32),
             pltpu.VMEM((1, _LANES), jnp.int32),
             pltpu.VMEM((1, _LANES), jnp.float32),
@@ -378,11 +599,11 @@ def oasis_ar1_pallas_long(signals: jnp.ndarray, g: float = 0.95,
 @functools.partial(
     jax.jit,
     static_argnames=("g", "lam", "s_min", "depth", "merge_attempts",
-                     "interpret", "flag_tol"))
+                     "interpret", "flag_tol", "precise"))
 def oasis_ar1_pallas(signals: jnp.ndarray, g: float = 0.95, lam: float = 0.0,
                      s_min: float = 0.0, depth: int | None = None,
                      merge_attempts: int = 4, interpret: bool = False,
-                     flag_tol: float = 0.0):
+                     flag_tol: float = 0.0, precise: bool = False):
     """Batched OASIS AR(1) on TPU via Pallas.
 
     Args:
@@ -425,7 +646,7 @@ def oasis_ar1_pallas(signals: jnp.ndarray, g: float = 0.95, lam: float = 0.0,
     blk = lambda r: pl.BlockSpec((r, _LANES), lambda i: (0, i),
                                  memory_space=pltpu.VMEM)
     cT, sT, redo = pl.pallas_call(
-        _oasis_kernel(T, D, g, s_min, merge_attempts, flag_tol),
+        _oasis_kernel(T, D, g, s_min, merge_attempts, flag_tol, precise),
         grid=grid,
         in_specs=[blk(T)],
         out_specs=(blk(T), blk(T), blk(1)),
@@ -436,7 +657,9 @@ def oasis_ar1_pallas(signals: jnp.ndarray, g: float = 0.95, lam: float = 0.0,
         ),
         scratch_shapes=[
             pltpu.VMEM((D, _LANES), jnp.float32),
-            pltpu.VMEM((D, _LANES), jnp.float32),
+            # see the long kernel: bf16 compensation stack in precise mode
+            pltpu.VMEM((D, _LANES),
+                       jnp.bfloat16 if precise else jnp.float32),
             pltpu.VMEM((D, _LANES), jnp.float32),
             pltpu.VMEM((1, _LANES), jnp.int32),
         ],

@@ -23,11 +23,12 @@ def synth_traces(rng, n=8, T=256, g=0.95, rate=0.02, sn=0.3):
     return c + sn * rng.standard_normal((n, T))
 
 
+@pytest.mark.parametrize("precise", [False, True])
 @pytest.mark.parametrize("s_min,lam", [(0.55, 0.0), (0.0, 0.0), (0.0, 1.0)])
-def test_matches_numpy_golden(rng, s_min, lam):
+def test_matches_numpy_golden(rng, s_min, lam, precise):
     y = synth_traces(rng, n=6, T=220)
     c, s, redo = oasis_ar1_pallas(y, g=0.95, lam=lam, s_min=s_min,
-                                  interpret=True)
+                                  interpret=True, precise=precise)
     c, s, redo = map(np.asarray, (c, s, redo))
     assert not redo.any()
     for i in range(len(y)):
@@ -103,12 +104,62 @@ def test_borderline_flag():
     assert not int(np.asarray(redo2)[0]) & 4
 
 
+def test_precise_mode_narrows_borderline_band():
+    """The precise machine (compensated v, closed-form w, split-argument
+    g^l) decides margins the classic f32 band cannot: a ~1e-5 margin sits
+    INSIDE the classic band (tol 1e-5 => ~2.5e-5 absolute here) but
+    comfortably OUTSIDE the precise band (tol 1e-6), so precise mode
+    resolves it unflagged — and must resolve it the f64 way."""
+    g, s_min = 0.95, 0.55
+    a = 2.0
+    y = np.zeros((1, 64), np.float32)
+    y[0, 0] = a
+    y[0, 1] = np.float32(g * a + s_min + 1e-5)
+    _, _, redo_c = oasis_ar1_pallas(y, g=g, s_min=s_min, flag_tol=1e-5,
+                                    interpret=True)
+    assert int(np.asarray(redo_c)[0]) & 4  # classic: undecidable, flags
+    _, s_p, redo_p = oasis_ar1_pallas(y, g=g, s_min=s_min, flag_tol=1e-6,
+                                      interpret=True, precise=True)
+    assert int(np.asarray(redo_p)[0]) == 0  # precise: decides it
+    _, s_ref = oasis_ref.oasis_ar1(y[0].astype(np.float64), g=g, s_min=s_min)
+    np.testing.assert_array_equal(np.asarray(s_p)[0] > 0.5, s_ref > 0.5)
+    # a margin below even the precise band must still flag
+    y[0, 1] = np.float32(g * a + s_min + 1e-8)
+    _, _, redo_t = oasis_ar1_pallas(y, g=g, s_min=s_min, flag_tol=1e-6,
+                                    interpret=True, precise=True)
+    assert int(np.asarray(redo_t)[0]) & 4
+
+
+@pytest.mark.slow
+def test_long_kernel_precise_fuzz_matches_golden(rng):
+    """Whole-recording regime (the precise machine's production path via
+    ops.oasis._pallas_spikes_long): multi-chunk traversal at the tight
+    band must match the f64 golden spikes with flags rare."""
+    from calciumgan_tpu.ops.oasis import (_BORDERLINE_TOL_PRECISE,
+                                          _MERGE_BUDGET)
+    y = synth_traces(rng, n=6, T=4500)
+    c, s, redo = oasis_ar1_pallas_long(
+        y, g=0.95, s_min=0.55, depth=256, chunk=1024, interpret=True,
+        merge_attempts=_MERGE_BUDGET, precise=True,
+        flag_tol=_BORDERLINE_TOL_PRECISE)
+    s = np.asarray(s)
+    redo = np.asarray(redo)
+    for i in range(len(y)):
+        if redo[i]:  # flagged lanes go to the host redo in production
+            continue
+        _, s_ref = oasis_ref.oasis_ar1(y[i], g=0.95, s_min=0.55)
+        np.testing.assert_array_equal(s[i] > 0.5, s_ref > 0.5)
+    assert (redo != 0).sum() <= 1  # tight band, tiny corpus: flags rare
+
+
+@pytest.mark.parametrize("precise", [False, True])
 @pytest.mark.parametrize("s_min,lam", [(0.55, 0.0), (0.0, 0.0), (0.0, 1.0)])
-def test_long_kernel_matches_numpy_golden(rng, s_min, lam):
+def test_long_kernel_matches_numpy_golden(rng, s_min, lam, precise):
     # T spans several chunks including a PARTIAL final one (300 = 4*64 + 44)
     y = synth_traces(rng, n=6, T=300)
     c, s, redo = oasis_ar1_pallas_long(y, g=0.95, lam=lam, s_min=s_min,
-                                       depth=64, chunk=64, interpret=True)
+                                       depth=64, chunk=64, interpret=True,
+                                       precise=precise)
     c, s, redo = map(np.asarray, (c, s, redo))
     assert not redo.any()
     for i in range(len(y)):
