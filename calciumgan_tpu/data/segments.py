@@ -247,6 +247,13 @@ def write_dataset(output_dir: str, signals: np.ndarray, spikes: np.ndarray,
     rng.shuffle(indexes)
 
     validation_size = int(validation_size)
+    if not 0 <= validation_size <= len(signals):
+        # a too-large validation split used to write 0 train segments and
+        # report a NEGATIVE train_size in info.pkl; fail loudly instead
+        raise ValueError(
+            f"validation_size {validation_size} must be in [0, "
+            f"{len(signals)}] (the dataset has {len(signals)} segments — "
+            f"a smaller --stride yields more)")
     train_size = len(signals) - validation_size
     per_shard = num_per_shard(sequence_length, apply_fft, target_shard_size)
 

@@ -120,6 +120,13 @@ def search(args):
     os.makedirs(args.output_dir, exist_ok=True)
 
     grid = dict(DEFAULT_GRID)
+    if getattr(args, "grid", None):
+        overrides = json.loads(args.grid)
+        unknown = set(overrides) - set(grid)
+        if unknown:
+            raise ValueError(f"--grid keys not in the sweep space: "
+                             f"{sorted(unknown)} (valid: {sorted(grid)})")
+        grid.update(overrides)
     results_path = os.path.join(args.output_dir, "results.jsonl")
 
     # sweep schema for the TensorBoard HParams dashboard
@@ -204,6 +211,11 @@ if __name__ == "__main__":
     parser.add_argument("--parallel", default=1, type=int,
                         help="run N experiments concurrently, each on its "
                              "own 1/N slice of the visible devices")
+    parser.add_argument("--grid", default=None, type=str,
+                        help="JSON dict overriding DEFAULT_GRID entries, "
+                             "e.g. '{\"noise_dim\": [4, 8]}' (unlisted keys "
+                             "keep their defaults; the reference hard-codes "
+                             "its grid — search.py:24-38)")
     parser.add_argument("--verbose", default=0, type=int)
     parser.add_argument("--summarize", action="store_true",
                         help="print the sweep ranked by --sort_by and exit")

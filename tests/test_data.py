@@ -273,3 +273,19 @@ def test_device_prefetcher_propagates_worker_errors():
     next(pf)
     with pytest.raises(RuntimeError, match="boom in worker"):
         next(pf)
+
+
+def test_write_dataset_rejects_oversized_validation(tmp_path, rng):
+    """A validation split larger than the dataset used to write 0 train
+    segments with a NEGATIVE train_size in info.pkl (found by the round-5
+    sweep prep); it must fail loudly instead."""
+    import pytest
+    from calciumgan_tpu.data import segments
+    data = {"signals": rng.random((4, 400)).astype(np.float32),
+            "oasis": (rng.random((4, 400)) < 0.05).astype(np.float32)}
+    s, sp, m = segments.preprocess(data, 64, 8, do_normalize=True,
+                                   is_dg_data=True)
+    with pytest.raises(ValueError, match="validation_size"):
+        segments.write_dataset(str(tmp_path), s, sp, m, 64, 8,
+                               validation_size=10 ** 6, do_normalize=True,
+                               apply_fft=False, conv2d=False, verbose=0)

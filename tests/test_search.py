@@ -105,3 +105,28 @@ def test_summarize_ranks_by_metric(tmp_path, capsys):
     assert [r["session"] for r in rows] == [2, 1]
     text = capsys.readouterr().out
     assert text.index("      2") < text.index("      1")
+
+
+def test_search_grid_override(tmp_path, dataset_dir, monkeypatch):
+    """--grid replaces listed DEFAULT_GRID entries (unlisted keep defaults)
+    and rejects unknown keys."""
+    monkeypatch.setattr(search_mod, "DEFAULT_GRID", {
+        "algorithm": ["wgan-gp"], "model": ["mlp"],
+        "activation": ["leakyrelu"], "noise_dim": [4, 8, 16],
+        "num_units": [4], "kernel_size": [2], "strides": [1],
+        "phase_shuffle": [0], "gradient_penalty": [10.0], "n_critic": [1],
+    })
+    args = argparse.Namespace(
+        input_dir=dataset_dir, output_dir=str(tmp_path / "sweep"),
+        batch_size=8, epochs=1, clear_output_dir=False,
+        mixed_precision=False, verbose=0,
+        grid=json.dumps({"noise_dim": [4]}))
+    search_mod.search(args)
+    with open(os.path.join(args.output_dir, "results.jsonl")) as f:
+        lines = [json.loads(l) for l in f]
+    assert len(lines) == 1 and lines[0]["params"]["noise_dim"] == 4
+
+    args.grid = json.dumps({"bogus_key": [1]})
+    args.output_dir = str(tmp_path / "sweep2")
+    with pytest.raises(ValueError, match="bogus_key"):
+        search_mod.search(args)
