@@ -302,13 +302,24 @@ def victor_purpura_metrics(config, summary, real_spikes, fake_spikes,
     if config.verbose:
         print("\tComputing Victor-Purpura distance")
     iu = np.triu_indices(config.num_neurons, k=1)
+    # (trials, T, neurons) NWC -> (trials, neurons, T); trials chunked so
+    # each dispatch carries chunk x N x N DP lanes (vs one trial per
+    # dispatch) and a dense outlier only pads its own chunk. On CPU the
+    # batched DP's scan carry (chunk x N^2 x M floats) blows the cache —
+    # measured 2.6x SLOWER at 6% spike rate (BASELINE.md) — so the batch
+    # is an accelerator-only win
+    real_nmt = np.asarray(real_spikes).transpose(0, 2, 1)
+    fake_nmt = np.asarray(fake_spikes).transpose(0, 2, 1)
     pairs = []
-    for i in range(len(real_spikes)):
-        r = np.asarray(jax.device_get(
-            sm.victor_purpura_distance(real_spikes[i].T)))[iu]
-        f = np.asarray(jax.device_get(
-            sm.victor_purpura_distance(fake_spikes[i].T)))[iu]
-        pairs.append((arrays.remove_nan(r), arrays.remove_nan(f)))
+    chunk = 16 if jax.default_backend() != "cpu" else 1
+    for start in range(0, len(real_nmt), chunk):
+        r = np.asarray(jax.device_get(sm.victor_purpura_distance_batch(
+            real_nmt[start:start + chunk])))
+        f = np.asarray(jax.device_get(sm.victor_purpura_distance_batch(
+            fake_nmt[start:start + chunk])))
+        for i in range(len(r)):
+            pairs.append((arrays.remove_nan(r[i][iu]),
+                          arrays.remove_nan(f[i][iu])))
     kl = _plot_pairs_and_kl(config, summary, pairs, epoch, "victor_purpura",
                             "Victor-Purpura distance",
                             "Victor-Purpura distance")

@@ -151,16 +151,20 @@ def van_rossum_distance(spikes1, spikes2=None, tau: float = 1.0,
 # Victor-Purpura distance
 # ---------------------------------------------------------------------------
 
-def _spike_times_padded(spikes: np.ndarray, framerate: int):
+def _spike_times_padded(spikes: np.ndarray, framerate: int,
+                        bucket: int = 1):
     """Binary (N, T) -> (times (N, M) float32 padded with +inf, counts (N,)).
 
     M is the GLOBAL max spike count, so one dense train inflates the
     O(M^2) DP for every pair. Acceptable behind ``--victor_purpura``
     (spiking data is sparse and uniform); revisit with per-chunk padding if
-    VP is ever run over heterogeneous populations."""
+    VP is ever run over heterogeneous populations. ``bucket`` rounds M up to
+    a multiple (the chunked batch path uses 32 so each chunk's max count
+    does not mint a fresh XLA program)."""
     spikes = np.asarray(spikes)
     counts = spikes.astype(bool).sum(axis=-1)
     M = max(1, int(counts.max()) if counts.size else 1)
+    M = -(-M // bucket) * bucket
     times = np.full((spikes.shape[0], M), np.inf, np.float32)
     for i, row in enumerate(spikes):
         t = np.nonzero(row)[0] / framerate
@@ -200,11 +204,20 @@ def _vp_pair(tu, nu, tv, nv, q):
     return final[nv]
 
 
-@functools.partial(jax.jit, static_argnames=("q",))
-def _vp_matrix(tx, nx, ty, ny, q: float):
+def _vp_matrix_impl(tx, nx, ty, ny, q: float):
     f = lambda tu, nu: jax.vmap(lambda tv, nv: _vp_pair(tu, nu, tv, nv, q))(
         ty, ny)
     return jax.vmap(f)(tx, nx)
+
+
+_vp_matrix = functools.partial(jax.jit, static_argnames=("q",))(
+    _vp_matrix_impl)
+
+
+@functools.partial(jax.jit, static_argnames=("q",))
+def _vp_matrix_batch(t, n, q: float):
+    """(B, N, M) padded times + (B, N) counts -> (B, N, N) VP matrices."""
+    return jax.vmap(lambda tb, nb: _vp_matrix_impl(tb, nb, tb, nb, q))(t, n)
 
 
 def victor_purpura_distance(spikes1, spikes2=None, q: float = 1.0,
@@ -218,6 +231,20 @@ def victor_purpura_distance(spikes1, spikes2=None, q: float = 1.0,
     t, n = _spike_times_padded(both, framerate)
     full = _vp_matrix(t, n, t, n, q)
     return full[len(s1):, :len(s2)]
+
+
+def victor_purpura_distance_batch(spikes, q: float = 1.0,
+                                  framerate: int = FRAMERATE) -> jnp.ndarray:
+    """Trial-batched pairwise VP: (B, N, T) binary spikes -> (B, N, N)
+    matrices in ONE dispatch (vmap over trials) — the eval driver's chunked
+    path; ~BxNxN DP lanes keep an accelerator busy where the per-trial API
+    serialises B dispatches. Spike-count padding is per call (bucketed to
+    32) so a dense outlier only inflates its own chunk."""
+    spikes = np.asarray(spikes)
+    B, N, T = spikes.shape
+    t, n = _spike_times_padded(spikes.reshape(B * N, T), framerate,
+                               bucket=32)
+    return _vp_matrix_batch(t.reshape(B, N, -1), n.reshape(B, N), q)
 
 
 # ---------------------------------------------------------------------------

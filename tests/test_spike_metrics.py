@@ -121,6 +121,16 @@ def test_victor_purpura_matches_dp(rng):
                                             abs=1e-4), (i, j)
 
 
+def test_victor_purpura_batch_matches_per_trial(rng):
+    # the eval driver's trial-batched path must equal B per-trial dispatches
+    spikes = (rng.uniform(size=(3, 6, 240)) < 0.05).astype(np.float32)
+    batched = np.asarray(sm.victor_purpura_distance_batch(spikes))
+    assert batched.shape == (3, 6, 6)
+    for b in range(3):
+        single = np.asarray(sm.victor_purpura_distance(spikes[b]))
+        np.testing.assert_allclose(batched[b], single, atol=1e-5)
+
+
 def test_victor_purpura_empty_trains():
     a = np.zeros((1, 50), np.float32)
     b = np.zeros((1, 50), np.float32)

@@ -8,7 +8,10 @@ Times one (neurons x neurons) pairwise VP matrix per trial — exactly what
 cost scales with rate^2; both the bench rate (2%) and a dense 6% variant
 are timed.
 
-    python tools/time_victor_purpura.py [trials] [neurons] [T]
+    python tools/time_victor_purpura.py [trials] [neurons] [T] [device]
+
+``device`` defaults to ``cpu`` (the offline-CLI convention — don't compete
+for the shared TPU chip); pass ``tpu`` to time the attached accelerator.
 """
 import os
 import sys
@@ -16,8 +19,12 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-import numpy as np
 import jax
+
+if (len(sys.argv) > 4 and sys.argv[4] or "cpu") == "cpu":
+    jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
 
 from calciumgan_tpu.ops import spike_metrics as sm
 
@@ -45,6 +52,17 @@ def main(trials: int = 4, neurons: int = 102, T: int = 2048) -> None:
               f"matrix -> demo (200 trials, real+fake) ~{full / 60:.1f} min",
               flush=True)
 
+        # the chunked batch path the eval driver actually uses (chunk 16)
+        nmt = spikes.transpose(0, 2, 1)
+        d = sm.victor_purpura_distance_batch(nmt)  # compile
+        jax.block_until_ready(d)
+        t0 = time.perf_counter()
+        d = sm.victor_purpura_distance_batch(nmt)
+        jax.block_until_ready(d)
+        per_batch = (time.perf_counter() - t0) / trials
+        print(f"  batched (B={trials}): {per_batch * 1e3:.0f} ms/trial -> "
+              f"demo ~{2 * 200 * per_batch / 60:.1f} min", flush=True)
+
 
 if __name__ == "__main__":
-    main(*(int(a) for a in sys.argv[1:]))
+    main(*(int(a) for a in sys.argv[1:4]))
