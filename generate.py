@@ -98,10 +98,17 @@ if __name__ == "__main__":
     parser.add_argument("--epoch", default=None, type=int,
                         help="checkpoint epoch (default: latest)")
     parser.add_argument("--seed", default=0, type=int)
+    parser.add_argument("--ema", default=argparse.SUPPRESS, type=float,
+                        help="override the run's --ema at generation time "
+                             "(e.g. --ema 0 samples the RAW generator of an "
+                             "EMA-trained checkpoint — the raw/EMA eval A/B)")
     parser.add_argument("--verbose", default=1, type=int)
     args = parser.parse_args()
 
     config = Config(output_dir=args.output_dir, verbose=args.verbose)
+    if hasattr(args, "ema"):
+        config.ema = args.ema
+        config._explicit.add("ema")
     main(config, num_samples=args.num_samples,
          out=args.out or os.path.join(args.output_dir, "samples.h5"),
          batch_size=args.batch_size, with_spikes=args.spikes,

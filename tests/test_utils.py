@@ -306,6 +306,26 @@ def test_config_load_never_clobbers_explicit_cli_flags(tmp_path):
     assert cfg.dpi == 300        # untyped flag restored from the run
 
 
+def test_generate_ema_override_survives_load(tmp_path):
+    """``generate.py --ema`` marks the value explicit so ``load()`` cannot
+    clobber it with the run's trained value — the raw/EMA eval A/B knob."""
+    train_cfg = Config(output_dir=str(tmp_path), ema=0.999)
+    train_cfg.save()
+
+    # no override: the run's trained --ema is restored
+    cfg = Config(output_dir=str(tmp_path))
+    cfg.load()
+    assert cfg.ema == 0.999
+
+    # --ema 0 typed at generation time (generate.py:109-111) wins, even
+    # though 0.0 is the dataclass default
+    cfg = Config(output_dir=str(tmp_path))
+    cfg.ema = 0.0
+    cfg._explicit.add("ema")
+    cfg.load()
+    assert cfg.ema == 0.0
+
+
 # ---------------------------------------------------------------------------
 # h5 staging helpers
 # ---------------------------------------------------------------------------
