@@ -299,6 +299,41 @@ def test_generate_cli(tmp_path, rng):
                       batch_size=8, epoch=0)
 
 
+def test_ab_raw_ema_view(tmp_path, rng):
+    """tools/ab_raw_ema.build_raw_view produces a scoreable sibling run
+    whose signals come from the RAW generator (--ema 0 override)."""
+    import json
+    import pickle
+
+    from tools.ab_raw_ema import build_raw_view
+
+    cfg = tiny_config(tmp_path, rng, ema="0.5", checkpoint_every="1")
+    train_lib.main(cfg)
+
+    out_dir = build_raw_view(cfg.output_dir, epochs=[1], num_samples=16,
+                             batch_size=8)
+    # the view is eval-ready: rewritten hparams + validation cache + info.pkl
+    with open(os.path.join(out_dir, "hparams.json")) as f:
+        hp = json.load(f)
+    assert hp["output_dir"] == out_dir and hp["ema"] == 0.0
+    assert os.path.exists(os.path.join(out_dir, "generated", "validation.h5"))
+    with open(os.path.join(out_dir, "generated", "info.pkl"), "rb") as f:
+        info = pickle.load(f)
+    assert set(info.keys()) == {1}
+
+    raw = h5.get(os.path.join(out_dir, "generated", "epoch001_signals.h5"),
+                 "signals")
+    # same epoch + same generation seed through the EMA (hparams) view: the
+    # only difference from the raw view is averaged vs instantaneous params
+    import generate as generate_mod
+    ema_out = str(tmp_path / "ema_s0.h5")
+    generate_mod.main(Config(output_dir=cfg.output_dir, verbose=0),
+                      num_samples=16, out=ema_out, batch_size=8, epoch=1)
+    ema = h5.get(ema_out, "signals")
+    assert raw.shape == ema.shape
+    assert np.abs(raw.astype(np.float64) - ema.astype(np.float64)).max() > 0
+
+
 def test_plot_weights_path(tmp_path, rng):
     from main import parse_args
     input_dir = make_variant_dataset(tmp_path, rng)
